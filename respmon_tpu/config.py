@@ -1,0 +1,117 @@
+"""Frozen, hashable configuration for the monitor pipeline.
+
+Mirrors every hyperparameter of the reference monitor with identical defaults
+(reference base.py:21-34 constructor kwargs + base.py:54-106 hardcoded
+hyperparameters + base.py:548-551 ``locate`` defaults).  The dataclasses are
+frozen so a config instance can be passed as a ``static_argnum`` to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureParams:
+    """Shi-Tomasi corner detection parameters (reference base.py:91-94)."""
+
+    max_corners: int = 100
+    quality_level: float = 0.3
+    min_distance: float = 7.0
+    block_size: int = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class LKParams:
+    """Pyramidal Lucas-Kanade parameters (reference base.py:96-98)."""
+
+    win_size: Tuple[int, int] = (15, 15)
+    max_level: int = 2
+    max_iters: int = 10          # cv2.TERM_CRITERIA_COUNT, 10
+    epsilon: float = 0.03        # cv2.TERM_CRITERIA_EPS, 0.03
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibrationConfig:
+    """EVM ROI localization parameters.
+
+    Defaults follow reference base.py:80-85 (monitor-level) and
+    base.py:548-551 (``locate`` signature defaults).
+    """
+
+    buffer_length: int = 128            # calibration_buffer_target_length
+    freq_min: float = 0.1
+    freq_max: float = 1.0
+    amplification: float = 500.0
+    pyramid_levels: int = 9
+    skip_levels_at_top: int = 4
+    temporal_threshold: float = 0.7     # suppress-top window proportion
+    threshold: float = 0.08             # binary threshold (x255 at use site)
+    maximum_bounding_box_area: float = math.inf
+
+
+@dataclasses.dataclass(frozen=True)
+class MeasureConfig:
+    """Measurement / BPM-estimation parameters (reference base.py:88-106)."""
+
+    buffer_length: int = 128            # measure_buffer_length
+    confidence_interval: float = 0.95
+    gaussian_cutoff: float = 10.0
+    filter_order: int = 3
+    initialization_length: int = 12     # samples before BPM estimation starts
+    peak_threshold: float = 0.3         # peakutils.indexes default `thres`
+    max_peaks: int = 32                 # static cap on candidate peaks (masked)
+
+
+@dataclasses.dataclass(frozen=True)
+class MonitorConfig:
+    """Top-level monitor configuration.
+
+    Constructor-kwarg tier of the reference (base.py:21-34) plus the nested
+    hyperparameter groups.  ``validate()`` reproduces the reference's assert
+    semantics.
+    """
+
+    fps_limit: float = 10.0
+    error_reset_delay: float = 10.0
+    save_all_data: bool = True
+    save_calibration_image: bool = False
+    visualize: Optional[str] = "pyqtgraph"
+    fig_size: Optional[Tuple[int, int]] = None
+    motion_extraction_method: str = "average"
+    disable_error_detection: bool = False
+
+    calibration: CalibrationConfig = CalibrationConfig()
+    measure: MeasureConfig = MeasureConfig()
+    features: FeatureParams = FeatureParams()
+    lk: LKParams = LKParams()
+
+    # Pipeline-level knobs (new; no reference analog).
+    compute_dtype: str = "float32"      # device compute dtype
+    roi_bucket: int = 32                # ROI dims rounded up to this multiple
+                                        # to bound jit recompiles
+
+    def validate(self) -> "MonitorConfig":
+        """Assert-based validation matching reference base.py:24-34."""
+        assert isinstance(self.fps_limit, (int, float)) and self.fps_limit > 0, \
+            "fps_limit must be a positive int or float"
+        assert isinstance(self.save_calibration_image, bool), \
+            "save_calibration_image must be bool"
+        assert self.visualize == "pyqtgraph" or self.visualize is None, \
+            "visualize must be 'pyqtgraph' or None"
+        assert self.fig_size is None or (
+            isinstance(self.fig_size, (tuple, list)) and len(self.fig_size) == 2
+        ), "fig_size should be None or length 2 tuple or list"
+        assert isinstance(self.error_reset_delay, (int, float)) and \
+            self.error_reset_delay >= 0, \
+            "error_reset_delay must be a positive int or float"
+        assert isinstance(self.save_all_data, bool), "save_all_data should be bool"
+        assert self.motion_extraction_method in ("average", "flow"), \
+            "motion_extraction_method must be 'average' or 'flow'"
+        return self
+
+    def peak_minimum_sample_distance(self, fps: float) -> int:
+        """FPS-dependent min peak distance (reference base.py:441)."""
+        return int(math.floor(fps / self.calibration.freq_max))

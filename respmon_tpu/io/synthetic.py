@@ -1,0 +1,70 @@
+"""Synthetic known-BPM breathing video generator.
+
+The reference has no test fixtures (SURVEY.md §4); its de-facto validation
+was replaying recorded clips.  For provable parity we generate videos with a
+known ground-truth breathing rate: a localized patch whose intensity (and,
+for flow testing, position) oscillates sinusoidally at ``bpm/60`` Hz over a
+static textured background plus optional noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def breathing_clip(num_frames: int = 128, height: int = 480, width: int = 640,
+                   fps: float = 10.0, bpm: float = 18.0,
+                   patch_center=None, patch_size=(80, 100),
+                   amplitude: float = 0.1, motion_px: float = 0.0,
+                   noise: float = 0.005, seed: int = 0,
+                   dtype=np.float32) -> np.ndarray:
+    """(T, H, W) float frames in [0, 1] with a breathing patch.
+
+    amplitude: peak intensity modulation of the patch.
+    motion_px: if > 0, the patch also translates vertically by this many
+      pixels (for optical-flow-mode testing).
+    """
+    rng = np.random.default_rng(seed)
+    if patch_center is None:
+        patch_center = (height // 2, width // 2)
+    cy, cx = patch_center
+    ph, pw = patch_size
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    background = 0.45 + 0.1 * np.sin(2 * np.pi * xx / 97.0) \
+        * np.cos(2 * np.pi * yy / 71.0)
+    # Static texture so corners/flow have something to latch onto.
+    background = background + 0.05 * rng.standard_normal((height, width))
+    background = np.clip(background, 0.05, 0.95)
+
+    t = np.arange(num_frames) / fps
+    phase = np.sin(2 * np.pi * (bpm / 60.0) * t)
+
+    frames = np.empty((num_frames, height, width), dtype=np.float64)
+    env_y = np.exp(-0.5 * ((yy - cy) / (ph / 2.0)) ** 2)
+    env_x = np.exp(-0.5 * ((xx - cx) / (pw / 2.0)) ** 2)
+    envelope = env_y * env_x
+    for i in range(num_frames):
+        shift = motion_px * phase[i]
+        if shift:
+            env = np.exp(-0.5 * ((yy - cy - shift) / (ph / 2.0)) ** 2) * env_x
+        else:
+            env = envelope
+        frame = background + amplitude * phase[i] * env
+        if noise:
+            frame = frame + noise * rng.standard_normal((height, width))
+        frames[i] = frame
+    # Quantize through uint8 like a real camera (reference pipeline ingests
+    # uint8 frames converted by uint8_to_float, base.py:227-233).
+    u8 = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
+    return (u8.astype(dtype) / 255.0)
+
+
+def motion_trace(num_samples: int = 128, fps: float = 10.0, bpm: float = 18.0,
+                 noise: float = 0.02, seed: int = 0):
+    """1-D synthetic motion signal + time axis (for DSP-stage tests)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(num_samples) / fps
+    y = np.sin(2 * np.pi * (bpm / 60.0) * t) + noise * \
+        rng.standard_normal(num_samples)
+    return t, y

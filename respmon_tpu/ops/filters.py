@@ -1,0 +1,179 @@
+"""Butterworth IIR filtering on device, scipy-parity.
+
+The reference uses scipy's native filters (transforms.py:38-79):
+  - ``butter_lowpass_filter`` (order 3 at the call site, base.py:342) via
+    zero-phase ``filtfilt`` — feeds BPM estimation, so parity matters for the
+    ±0.5 BPM target.
+  - ``butter_bandpass_filter`` (order 6, ``lfilter``) — the IIR alternative to
+    the FFT temporal bandpass (transforms.py:72-79).
+
+TPU-native design: coefficients are designed on host at trace time with scipy
+(static given fps), closed over by jitted kernels; the causal IIR runs as a
+``lax.scan`` linear recurrence; ``filtfilt`` reproduces scipy's odd-extension
+padding and ``lfilter_zi`` initial conditions exactly.
+
+Masked variable-length support: the monitor filters a growing deque each frame
+(13..128 samples).  To keep shapes static under jit we store signals
+right-aligned in a fixed buffer and exploit the ``lfilter_zi`` steady-state
+property: with initial state ``zi * x0``, a constant prefix of ``x0`` produces
+a constant output, so prepending copies of the first sample leaves the real
+outputs bit-identical to filtering the unpadded signal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterCoeffs:
+    """Hashable IIR filter coefficients (normalized, a[0] == 1)."""
+
+    b: Tuple[float, ...]
+    a: Tuple[float, ...]
+    zi: Tuple[float, ...]  # scipy.signal.lfilter_zi steady-state
+
+    @property
+    def order(self) -> int:
+        return len(self.a) - 1
+
+    @property
+    def padlen(self) -> int:
+        """scipy.filtfilt default padlen = 3 * max(len(a), len(b))."""
+        return 3 * max(len(self.a), len(self.b))
+
+
+def design_butter_lowpass(cutoff: float, fs: float, order: int) -> FilterCoeffs:
+    """Host-side Butterworth lowpass design (reference transforms.py:58-63)."""
+    from scipy.signal import butter, lfilter_zi
+
+    b, a = butter(order, cutoff / (0.5 * fs), btype="low", analog=False)
+    zi = lfilter_zi(b, a)
+    return FilterCoeffs(b=tuple(b.tolist()), a=tuple(a.tolist()),
+                        zi=tuple(zi.tolist()))
+
+
+def design_butter_bandpass(lowcut: float, highcut: float, fs: float,
+                           order: int = 5) -> FilterCoeffs:
+    """Host-side Butterworth bandpass design (reference transforms.py:38-44)."""
+    from scipy.signal import butter, lfilter_zi
+
+    nyq = 0.5 * fs
+    b, a = butter(order, [lowcut / nyq, highcut / nyq], btype="band",
+                  output="ba")
+    zi = lfilter_zi(b, a)
+    return FilterCoeffs(b=tuple(b.tolist()), a=tuple(a.tolist()),
+                        zi=tuple(zi.tolist()))
+
+
+def lfilter(coeffs: FilterCoeffs, x: jnp.ndarray,
+            zi: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Causal IIR along the leading axis via ``lax.scan`` (direct form II
+    transposed), matching ``scipy.signal.lfilter``.
+
+    ``x`` may be (T,) or (T, ...) — the recurrence runs along axis 0 and
+    broadcasts over trailing axes (replaces reference transforms.py:49,54).
+    """
+    dtype = x.dtype
+    b = jnp.asarray(coeffs.b, dtype=dtype)
+    a = jnp.asarray(coeffs.a, dtype=dtype)
+    order = coeffs.order
+    trailing = x.shape[1:]
+
+    if zi is None:
+        d0 = jnp.zeros((order,) + trailing, dtype=dtype)
+    else:
+        d0 = jnp.broadcast_to(zi.astype(dtype), (order,) + trailing)
+
+    def step(d, xn):
+        yn = b[0] * xn + d[0]
+        shifted = jnp.concatenate(
+            [d[1:], jnp.zeros((1,) + trailing, dtype=dtype)], axis=0)
+        bx = b[1:].reshape((order,) + (1,) * len(trailing)) * xn
+        ay = a[1:].reshape((order,) + (1,) * len(trailing)) * yn
+        return shifted + bx - ay, yn
+
+    _, y = jax.lax.scan(step, d0, x)
+    return y
+
+
+def _odd_ext_masked(x_padded: jnp.ndarray, count: jnp.ndarray,
+                    padlen: int) -> jnp.ndarray:
+    """Build scipy-filtfilt's odd extension for a right-aligned masked signal.
+
+    ``x_padded`` is (N,) with the valid signal occupying ``[N-count, N)``.
+    Returns (N + 2*padlen,) where the real extension (front odd-ext, signal,
+    back odd-ext) is right-aligned ending at index N + padlen, i.e. the back
+    extension occupies the final ``padlen`` slots; everything before the real
+    front extension is filled with its first value (harmless constant prefix
+    under steady-state initial conditions).
+    """
+    n = x_padded.shape[0]
+    p = padlen
+    m = n + 2 * p
+    dtype = x_padded.dtype
+    start = n - count                       # index of x[0]
+
+    x0 = x_padded[start]                    # dynamic gather (first sample)
+    xlast = x_padded[n - 1]                 # newest sample (static)
+
+    # Front odd extension: f[j] = 2*x0 - x[p - j], j = 0..p-1.
+    j = jnp.arange(p)
+    front = 2.0 * x0 - jnp.take(x_padded, start + (p - j), mode="clip")
+    # Back odd extension: g[j] = 2*x[-1] - x[c-2-j] = 2*x[-1] - x_padded[N-2-j].
+    back = 2.0 * xlast - x_padded[n - 2 - j]
+
+    ext = jnp.zeros((m,), dtype=dtype)
+    # Real signal occupies ext[m - p - count : m - p); writing the whole
+    # padded buffer at the static slot [p : m - p) covers it (its garbage
+    # prefix is overwritten / masked below).
+    ext = jax.lax.dynamic_update_slice(ext, x_padded, (p,))
+    # Front extension immediately before the signal (dynamic position).
+    front_pos = m - count - 2 * p
+    ext = jax.lax.dynamic_update_slice(ext, front.astype(dtype), (front_pos,))
+    # Back extension at the static tail.
+    ext = jax.lax.dynamic_update_slice(ext, back.astype(dtype), (m - p,))
+    # Constant prefix = front[0] before the real front extension.
+    idx = jnp.arange(m)
+    ext = jnp.where(idx < front_pos, front[0].astype(dtype), ext)
+    return ext
+
+
+@partial(jax.jit, static_argnames=("coeffs",))
+def filtfilt_masked(coeffs: FilterCoeffs, x_padded: jnp.ndarray,
+                    count: jnp.ndarray) -> jnp.ndarray:
+    """Zero-phase forward-backward IIR matching ``scipy.signal.filtfilt``
+    (method='pad', padtype='odd', default padlen) on a right-aligned masked
+    signal (reference transforms.py:66-69 / base.py:342).
+
+    Returns (N,) right-aligned: positions ``[N-count, N)`` hold the filtered
+    signal; positions before are unspecified.  Requires ``count > padlen``
+    (guaranteed by the monitor: measurement starts at >12 samples and
+    padlen = 12 for the order-3 call site; asserted by callers for others).
+    """
+    n = x_padded.shape[0]
+    p = coeffs.padlen
+    count = jnp.asarray(count)
+    ext = _odd_ext_masked(x_padded, count, p)
+    zi = jnp.asarray(coeffs.zi, dtype=x_padded.dtype)
+
+    # Forward pass: init state zi * ext[0]; constant prefix is steady-state.
+    y1 = lfilter(coeffs, ext, zi=zi * ext[0])
+    # Backward pass over the reversed signal; its first element is the last
+    # real extension value (the back extension ends at the buffer tail).
+    y1r = y1[::-1]
+    y2r = lfilter(coeffs, y1r, zi=zi * y1r[0])
+    y2 = y2r[::-1]
+    # Strip padlen from both ends of the real extension; as a right-aligned
+    # (N,) window this is the static slice [p : p + N] of the (N + 2p) array.
+    return jax.lax.dynamic_slice(y2, (p,), (n,))
+
+
+def filtfilt(coeffs: FilterCoeffs, x: jnp.ndarray) -> jnp.ndarray:
+    """Full-length zero-phase filter (scipy-parity) for static-length signals."""
+    return filtfilt_masked(coeffs, x, jnp.asarray(x.shape[0]))

@@ -1,0 +1,194 @@
+"""Vectorized Gaussian curve fitting (MINPACK-style trust-region LM).
+
+The reference fits ``gaussian(x, ampl, center, dev) = ampl*exp(-(x-center)^2 /
+(2*dev^2))`` to a window around each candidate peak via
+``peakutils.gaussian_fit(ti, datai, center_only=False)`` (base.py:327), which
+wraps ``scipy.optimize.curve_fit`` (MINPACK lmdif) with initial guess
+``[max(y), x[0], (x[1]-x[0])*5]``; a ``RuntimeError`` (no convergence) drops
+the peak (base.py:336-337), and an accepted peak requires ``params[2] <
+gaussian_cutoff`` (base.py:334) — note the *signed* comparison, reproduced
+here.
+
+TPU-native design: a fixed-iteration scaled trust-region Levenberg-Marquardt
+loop (lmdif's essential structure: column-norm parameter scaling D, trust
+radius with gain-ratio updates, ftol/xtol convergence tests), batched over all
+candidate windows at once via ``vmap``.  Masked points get zero residual
+weight so edge-clamped (shorter) windows fit correctly inside a fixed-shape
+buffer.  Non-convergence within the iteration budget maps to
+``converged=False``, the analog of the RuntimeError path.  Validated against
+``scipy.optimize.curve_fit`` at 100% accept/reject agreement on realistic
+peak windows (99% including pure-noise windows; see tests/test_gaussfit.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GaussFit(NamedTuple):
+    ampl: jnp.ndarray
+    center: jnp.ndarray
+    dev: jnp.ndarray
+    converged: jnp.ndarray   # bool — False is the RuntimeError-equivalent
+    cost: jnp.ndarray
+
+
+def _gauss(t, ampl, center, dev):
+    return ampl * jnp.exp(-((t - center) ** 2) / (2.0 * dev ** 2))
+
+
+def _solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 linear solve via the adjugate (no LAPACK custom call:
+    TPU-friendly and vmappable).  Returns zeros for near-singular systems
+    (treated as a null step by the trust-region loop)."""
+    a00, a01, a02 = A[0, 0], A[0, 1], A[0, 2]
+    a10, a11, a12 = A[1, 0], A[1, 1], A[1, 2]
+    a20, a21, a22 = A[2, 0], A[2, 1], A[2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    adjT = jnp.array([[c00, c10, c20], [c01, c11, c21], [c02, c12, c22]])
+    scale = jnp.max(jnp.abs(A)) + 1e-300
+    ok = jnp.abs(det) > 1e-30 * scale ** 3
+    x = (adjT @ b) / jnp.where(ok, det, 1.0)
+    return jnp.where(ok, x, jnp.zeros_like(b))
+
+
+def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
+                        iters: int = 200, ftol: float | None = None,
+                        xtol: float | None = None,
+                        bisect_iters: int = 24) -> GaussFit:
+    """Trust-region LM fit of a Gaussian to masked (t, y) points.
+
+    Initial guess matches peakutils.gaussian_fit: ``[max(y), t[0], 5*dt]``
+    where ``t[0]``/``dt`` refer to the first *valid* (masked-in) samples.
+
+    Default tolerances are sqrt(machine-eps) of the input dtype (MINPACK's
+    1.49e-8 for float64; ~3.5e-4 for the float32 TPU path, below which f32
+    roundoff makes the ftol/xtol tests unreachable).
+    """
+    dtype = y.dtype
+    if ftol is None:
+        ftol = 1.49e-8 if dtype == jnp.float64 else 3.45e-4
+    if xtol is None:
+        xtol = 1.49e-8 if dtype == jnp.float64 else 3.45e-4
+    w = mask.astype(dtype)
+    nvalid = jnp.sum(mask)
+
+    first = jnp.argmax(mask)
+    t0 = t[first]
+    t1 = t[jnp.minimum(first + 1, t.shape[0] - 1)]
+    big_neg = jnp.asarray(-jnp.inf, dtype)
+    ymax = jnp.max(jnp.where(mask, y, big_neg))
+    p0 = jnp.stack([ymax, t0, (t1 - t0) * 5.0])
+
+    def cost_and_resid(p):
+        r = (_gauss(t, p[0], p[1], p[2]) - y) * w
+        return jnp.sum(r * r), r
+
+    def jacobian(p):
+        ampl, center, dev = p[0], p[1], p[2]
+        d = t - center
+        e = jnp.exp(-(d ** 2) / (2.0 * dev ** 2))
+        cols = jnp.stack(
+            [e, ampl * e * d / (dev ** 2), ampl * e * (d ** 2) / (dev ** 3)],
+            axis=-1)
+        return cols * w[:, None]
+
+    F0, _ = cost_and_resid(p0)
+    J0 = jacobian(p0)
+    D0 = jnp.sqrt(jnp.sum(J0 * J0, axis=0))
+    D0 = jnp.where(D0 == 0, 1.0, D0)
+    Delta0 = 100.0 * jnp.sqrt(jnp.sum((D0 * p0) ** 2))
+    Delta0 = jnp.where(Delta0 == 0, 100.0, Delta0)
+
+    def step(carry, _):
+        p, F, D, Delta, done = carry
+        _, r = cost_and_resid(p)
+        J = jacobian(p)
+        D = jnp.maximum(D, jnp.sqrt(jnp.sum(J * J, axis=0)))
+        JtJ = J.T @ J
+        g = J.T @ r
+        reg = 1e-10 * jnp.trace(JtJ) * jnp.eye(3, dtype=dtype)
+
+        def solve(lam):
+            return _solve3(JtJ + lam * jnp.diag(D * D) + reg, -g)
+
+        d_gn = solve(jnp.asarray(0.0, dtype))
+        gn_norm = jnp.sqrt(jnp.sum((D * d_gn) ** 2))
+        inside = gn_norm <= Delta
+
+        # Bisect the LM parameter in log space until ||D delta|| ~= Delta.
+        def bisect(_, lohi):
+            lo, hi = lohi
+            mid = jnp.sqrt(lo * hi)
+            dn = jnp.sqrt(jnp.sum((D * solve(mid)) ** 2))
+            return jnp.where(dn > Delta, mid, lo), jnp.where(dn > Delta, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(
+            0, bisect_iters, bisect,
+            (jnp.asarray(1e-12, dtype), jnp.asarray(1e12, dtype)))
+        par = jnp.sqrt(lo * hi)
+        delta = jnp.where(inside, d_gn, solve(par))
+
+        p_new = p + delta
+        F_new, _ = cost_and_resid(p_new)
+        pred = -(2.0 * jnp.dot(g, delta) + delta @ JtJ @ delta)
+        actred = F - F_new
+        ratio = jnp.where(pred > 0, actred / jnp.where(pred > 0, pred, 1.0),
+                          0.0)
+        pnorm = jnp.sqrt(jnp.sum((D * delta) ** 2))
+
+        Delta_new = jnp.where(ratio <= 0.25, 0.5 * Delta,
+                              jnp.where((ratio >= 0.75) | inside,
+                                        2.0 * pnorm, Delta))
+        accept = (ratio > 1e-4) & jnp.all(jnp.isfinite(p_new)) \
+            & jnp.isfinite(F_new)
+
+        ftol_hit = accept & (jnp.abs(actred) <= ftol * F) \
+            & (pred <= ftol * F) & (ratio <= 2.0)
+        p_acc = jnp.where(accept, p_new, p)
+        F_acc = jnp.where(accept, F_new, F)
+        xtol_hit = Delta_new <= xtol * jnp.sqrt(jnp.sum((D * p_acc) ** 2))
+        done_new = done | ftol_hit | xtol_hit
+
+        keep = ~done
+        return (
+            jnp.where(keep, p_acc, p),
+            jnp.where(keep, F_acc, F),
+            D,
+            jnp.where(keep, Delta_new, Delta),
+            done_new,
+        ), None
+
+    init = (p0, F0, D0, Delta0, jnp.asarray(False))
+    (p, F, _, _, done), _ = jax.lax.scan(step, init, None, length=iters)
+
+    finite = jnp.all(jnp.isfinite(p)) & jnp.isfinite(F)
+    enough = nvalid >= 3  # need >= #params points, else curve_fit raises
+    converged = done & finite & enough
+    return GaussFit(ampl=p[0], center=p[1], dev=p[2],
+                    converged=converged, cost=F)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def gaussian_fit_batch(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
+                       iters: int = 200) -> GaussFit:
+    """vmapped trust-region LM Gaussian fit over a batch of masked windows.
+
+    Shapes: t, y, mask are (B, W); returns GaussFit of (B,) arrays.
+    """
+    return jax.vmap(lambda ti, yi, mi: gaussian_fit_single(ti, yi, mi,
+                                                           iters=iters))(
+        t, y, mask)

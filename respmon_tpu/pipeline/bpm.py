@@ -1,0 +1,96 @@
+"""BPM estimation stage — the reference's ``measure()`` as one device call.
+
+Reference semantics (base.py:312-352), run every frame once >12 samples are
+buffered: Butterworth-lowpass the motion deque at ``freq_max*0.5`` (order 3,
+filtfilt), peakutils min-distance peak detection, per-candidate Gaussian
+curve-fit filtering (drop non-converged, accept signed dev < 10.0), BPM = 60 /
+mean(peak-to-peak interval), appended only when >= 2 accepted peaks.
+
+TPU-native design: fixed-size right-aligned ring buffers with a valid count;
+masked filtfilt → masked peak detection → all candidate windows extracted and
+LM-fit in one vmapped batch → masked interval mean.  Everything is one jitted
+function of static (fps-derived) parameters, reused by both the streaming
+monitor and the whole-clip ``lax.scan`` fast path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from respmon_tpu.config import MeasureConfig
+from respmon_tpu.ops import filters, gaussfit, peaks
+
+
+class BPMResult(NamedTuple):
+    has_bpm: jnp.ndarray       # bool — a new frequency estimate was produced
+    bpm: jnp.ndarray           # float — valid iff has_bpm
+    filtered: jnp.ndarray      # (N,) right-aligned filtered signal
+    cand_idx: jnp.ndarray      # (max_peaks,) candidate buffer indices
+    cand_mask: jnp.ndarray     # (max_peaks,) candidates validity
+    accept_mask: jnp.ndarray   # (max_peaks,) accepted (post Gaussian filter)
+    peak_count: jnp.ndarray    # int32 number of accepted peaks
+
+
+def estimate_bpm(data: jnp.ndarray, t: jnp.ndarray, count: jnp.ndarray,
+                 coeffs: filters.FilterCoeffs, min_dist: int,
+                 cfg: MeasureConfig) -> BPMResult:
+    """One ``measure()`` call on right-aligned (N,) buffers with ``count``
+    valid samples.  ``coeffs`` is the host-designed lowpass (freq_max*0.5,
+    order cfg.filter_order); ``min_dist`` = floor(fps / freq_max)."""
+    n = data.shape[0]
+    width = max(min_dist, 1)
+    max_peaks = cfg.max_peaks
+
+    filtered = filters.filtfilt_masked(coeffs, data, count)
+
+    cand_idx, cand_mask = peaks.peak_indexes_masked(
+        filtered, count, min_dist, thres=cfg.peak_threshold,
+        max_peaks=max_peaks)
+
+    start = n - count
+
+    # Reference window clamping (base.py:319-323), including the quirk that
+    # the right clamp tests the already-reduced w.
+    i_loc = cand_idx - start
+    w1 = jnp.where(i_loc - width < 0, i_loc, width)
+    w2 = jnp.where(i_loc + w1 > count, count - i_loc, w1)
+
+    # Gather fixed (max_peaks, 2*width) windows starting at cand_idx - w2.
+    offs = jnp.arange(2 * width)
+    gidx = cand_idx[:, None] - w2[:, None] + offs[None, :]
+    gclip = jnp.clip(gidx, 0, n - 1)
+    win_t = t[gclip]
+    win_y = filtered[gclip]
+    win_mask = cand_mask[:, None] & (offs[None, :] < 2 * w2[:, None]) \
+        & (gidx >= 0) & (gidx < n)
+
+    fit = gaussfit.gaussian_fit_batch(win_t, win_y, win_mask)
+    accept = cand_mask & fit.converged & (fit.dev < cfg.gaussian_cutoff)
+
+    # Peak times of accepted candidates, compacted in ascending order.
+    times = t[jnp.clip(cand_idx, 0, n - 1)]
+    order = jnp.cumsum(accept) - 1
+    slot = jnp.where(accept, order, max_peaks)
+    compact = jnp.full((max_peaks + 1,), 0.0, times.dtype)
+    compact = compact.at[slot].set(times, mode="drop")[:max_peaks]
+    k = jnp.sum(accept)
+
+    pair_mask = jnp.arange(max_peaks - 1) < (k - 1)
+    diffs = compact[1:] - compact[:-1]
+    interval = jnp.sum(jnp.where(pair_mask, diffs, 0.0)) / \
+        jnp.maximum(jnp.sum(pair_mask), 1)
+    has_bpm = k >= 2
+    bpm = 60.0 / jnp.where(interval != 0, interval, 1.0)
+
+    return BPMResult(has_bpm=has_bpm, bpm=bpm, filtered=filtered,
+                     cand_idx=cand_idx, cand_mask=cand_mask,
+                     accept_mask=accept, peak_count=k.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("coeffs", "min_dist", "cfg"))
+def estimate_bpm_jit(data, t, count, coeffs, min_dist, cfg: MeasureConfig):
+    return estimate_bpm(data, t, count, coeffs, min_dist, cfg)

@@ -1,0 +1,117 @@
+"""Eulerian video magnification calibration — one fused device program.
+
+Replaces the reference's calibration stack (transforms.py:144-198 +
+base.py:547-601), which is its compute bottleneck (SURVEY.md §3.3): 128
+frames x 9-level OpenCV pyramid + per-pixel scipy FFTs + per-frame collapse.
+Here the whole chain — Laplacian video pyramid, per-level packed-rfft
+temporal bandpass (as MXU matmuls), bandpassed-pyramid collapse, suppress-top
+windowing, heatmap reduction, threshold, and largest-component bbox — traces
+into a single ``jax.jit`` program over the on-device (T, H, W) buffer.
+
+The bandpassed pyramid skips the top ``skip_levels_at_top`` levels and the
+bottom (Gaussian) level (transforms.py:156-160); skipped levels contribute
+zeros to the collapse, so the collapse starts from the deepest *filtered*
+level and pyr-ups through the zero levels — mathematically identical to the
+reference's zero-filled collapse but without touching full-res zero arrays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from respmon_tpu.config import CalibrationConfig
+from respmon_tpu.ops import ccl
+from respmon_tpu.ops.dtype import float_to_uint8
+from respmon_tpu.ops.fft_bandpass import temporal_bandpass_fft
+from respmon_tpu.ops.pyramid import (laplacian_pyramid, pyr_up,
+                                     pyramid_shapes)
+
+
+class EVMResult(NamedTuple):
+    masked: jnp.ndarray   # (T, H, W) suppress-top-masked bandpassed video
+    raw: jnp.ndarray      # (T, H, W) raw collapsed bandpassed video
+
+
+class LocateResult(NamedTuple):
+    found: jnp.ndarray      # bool — False mirrors locate() returning None
+    x: jnp.ndarray          # int32 bbox (cv2 convention)
+    y: jnp.ndarray
+    w: jnp.ndarray
+    h: jnp.ndarray
+    heatmap_u8: jnp.ndarray  # (H, W) uint8 normalized average frame
+    thresh: jnp.ndarray      # (H, W) uint8 binary threshold image
+    raw_heat_u8: jnp.ndarray  # (H, W) uint8 of the unmasked heatmap
+
+
+def eulerian_magnification_bandpass(vid: jnp.ndarray, fps: float,
+                                    cfg: CalibrationConfig) -> EVMResult:
+    """transforms.py:144-198 as one traced computation.
+
+    vid: (T, H, W) float frames in [0, 1].
+    """
+    t_len, h, w = vid.shape
+    levels = cfg.pyramid_levels
+    shapes = pyramid_shapes(h, w, levels)
+
+    lap = laplacian_pyramid(vid, levels)
+
+    # Bandpass the kept levels (skip top `skip_levels_at_top` and bottom 1).
+    first = cfg.skip_levels_at_top
+    last = levels - 2  # inclusive; level levels-1 is the Gaussian top
+    band = {}
+    for i in range(first, last + 1):
+        band[i] = temporal_bandpass_fft(lap[i], fps, cfg.freq_min,
+                                        cfg.freq_max, cfg.amplification)
+
+    # Collapse the (implicitly zero-padded) bandpassed pyramid: start at the
+    # deepest filtered level and pyrUp-add up through level 0 (zero levels
+    # just pass the upsampled image through).
+    img = jnp.zeros((t_len,) + shapes[last + 1], vid.dtype)
+    for lvl in range(last, -1, -1):
+        img = pyr_up(img, shapes[lvl])
+        if lvl in band:
+            img = img + band[lvl]
+    raw = img
+
+    # Suppress-top windowing (transforms.py:184-192): values within
+    # `temporal_threshold` of the global max (proportionally) -> global min.
+    lo = jnp.min(raw)
+    hi = jnp.max(raw)
+    top = hi - (hi - lo) * cfg.temporal_threshold
+    masked = jnp.where(raw >= top, lo, raw)
+    return EVMResult(masked=masked, raw=raw)
+
+
+@partial(jax.jit, static_argnames=("fps", "cfg"))
+def locate(vid: jnp.ndarray, fps: float, cfg: CalibrationConfig) \
+        -> LocateResult:
+    """base.py:547-601 on device: EVM heatmap -> normalize -> threshold ->
+    largest 8-connected region -> bounding box.
+
+    Returns found=False when the threshold image has no foreground (the
+    reference's `len(contours) <= 0 -> None` retry path, base.py:569-570).
+    """
+    evm = eulerian_magnification_bandpass(vid, fps, cfg)
+
+    avg = jnp.mean(evm.masked, axis=0)
+    avg_norm = (avg - jnp.min(avg)) / (jnp.max(avg) - jnp.min(avg))
+    heat_u8 = float_to_uint8(avg_norm)
+
+    threshold = jnp.round(cfg.threshold * 255.0).astype(jnp.int32)
+    fg = heat_u8.astype(jnp.int32) > threshold   # cv2.THRESH_BINARY strict >
+    thresh_img = jnp.where(fg, jnp.uint8(255), jnp.uint8(0))
+
+    box = ccl.largest_component_bbox(fg)
+
+    raw_avg = jnp.mean(evm.raw, axis=0)
+    raw_norm = (raw_avg - jnp.min(raw_avg)) / \
+        (jnp.max(raw_avg) - jnp.min(raw_avg))
+    raw_u8 = float_to_uint8(raw_norm)
+
+    return LocateResult(found=box.found, x=box.x, y=box.y, w=box.w, h=box.h,
+                        heatmap_u8=heat_u8, thresh=thresh_img,
+                        raw_heat_u8=raw_u8)

@@ -1,0 +1,19 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices and x64 enabled.
+
+Multi-chip sharding tests use the standard JAX trick of faking devices via
+``--xla_force_host_platform_device_count`` (SURVEY.md §4).  x64 lets parity
+tests compare bit-closely against scipy/cv2 float64 oracles; device code is
+dtype-polymorphic so the same kernels run float32 on real TPUs.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,259 @@
+"""Host-side oracle of the reference pipeline's numerical behavior.
+
+This module is the test-time ground truth: a from-scratch numpy/cv2/scipy
+model of every stage of the reference monitor, written against the semantics
+documented in SURVEY.md (with reference file:line citations inline).  It is
+used to validate the JAX/TPU kernels; it is NOT part of the shipped framework.
+
+peakutils is not installed in this environment, so its two entry points used
+by the reference (``indexes`` at base.py:314 and ``gaussian_fit`` at
+base.py:327) are re-derived here from the published peakutils semantics
+(relative threshold + plateau-filled first differences + greedy min-distance
+suppression; scipy ``curve_fit`` Gaussian with p0 = [max(y), x[0],
+5*(x[1]-x[0])]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# peakutils oracle
+# ---------------------------------------------------------------------------
+
+def peakutils_indexes(y, thres=0.3, min_dist=1):
+    """Oracle for peakutils.indexes (reference call: base.py:314)."""
+    y = np.asarray(y, dtype=float)
+    thres = thres * (np.max(y) - np.min(y)) + np.min(y)
+    min_dist = int(min_dist)
+
+    dy = np.diff(y)
+    zeros, = np.where(dy == 0)
+    if len(zeros) == len(y) - 1:
+        return np.array([], dtype=int)
+
+    if len(zeros):
+        # Split zero indices into consecutive runs (plateaus).
+        splits = np.where(np.diff(zeros) != 1)[0] + 1
+        plateaus = np.split(zeros, splits)
+        if plateaus and plateaus[0][0] == 0:
+            dy[plateaus[0]] = dy[plateaus[0][-1] + 1]
+            plateaus = plateaus[1:]
+        if plateaus and plateaus[-1][-1] == len(dy) - 1:
+            dy[plateaus[-1]] = dy[plateaus[-1][0] - 1]
+            plateaus = plateaus[:-1]
+        for run in plateaus:
+            med = np.median(run)
+            dy[run[run < med]] = dy[run[0] - 1]
+            dy[run[run >= med]] = dy[run[-1] + 1]
+
+    cand = np.where((np.hstack([dy, 0.0]) < 0.0)
+                    & (np.hstack([0.0, dy]) > 0.0)
+                    & (y > thres))[0]
+
+    if cand.size > 1 and min_dist > 1:
+        keep_order = cand[np.argsort(y[cand], kind="stable")][::-1]
+        suppressed = np.ones(y.size, dtype=bool)
+        suppressed[cand] = False
+        for p in keep_order:
+            if not suppressed[p]:
+                lo = max(0, p - min_dist)
+                suppressed[lo:p + min_dist + 1] = True
+                suppressed[p] = False
+        cand = np.arange(y.size)[~suppressed]
+    return cand
+
+
+def peakutils_gaussian(x, ampl, center, dev):
+    return ampl * np.exp(-((x - center) ** 2) / (2.0 * dev ** 2))
+
+
+def peakutils_gaussian_fit(x, y, center_only=True):
+    """Oracle for peakutils.gaussian_fit: scipy curve_fit with the peakutils
+    initial guess.  Raises RuntimeError on non-convergence like curve_fit."""
+    from scipy.optimize import curve_fit
+
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    p0 = [np.max(y), x[0], (x[1] - x[0]) * 5.0]
+    params, _ = curve_fit(peakutils_gaussian, x, y, p0)
+    return params[1] if center_only else params
+
+
+# ---------------------------------------------------------------------------
+# Signal-stage oracle (reference base.py:312-352)
+# ---------------------------------------------------------------------------
+
+def butter_lowpass_filter(data, cutoff, fs, order=5):
+    """Oracle for reference transforms.py:58-69 (filtfilt lowpass)."""
+    from scipy.signal import butter, filtfilt
+
+    b, a = butter(order, cutoff / (0.5 * fs), btype="low", analog=False)
+    return filtfilt(b, a, np.asarray(data, dtype=float))
+
+
+def find_peaks(filtered, t, width, gaussian_cutoff=10.0):
+    """Oracle for reference base.py:312-338.
+
+    Returns (accepted_indices, fits).  A candidate's fit window is
+    ``[idx-w, idx+w)`` with ``w`` clamped at the edges exactly like the
+    reference (including its clamp-with-already-reduced-w quirk at
+    base.py:320-323); non-converging fits are dropped; acceptance requires the
+    signed dev parameter < gaussian_cutoff.
+    """
+    t = np.asarray(t, dtype=float)
+    filtered = np.asarray(filtered, dtype=float)
+    indices = peakutils_indexes(filtered, min_dist=width)
+
+    accepted = []
+    fits = []
+    for idx in indices:
+        w = width
+        if idx - width < 0:
+            w = idx
+        if idx + w > len(t):
+            w = len(t) - idx
+        ti = t[idx - w: idx + w]
+        datai = filtered[idx - w: idx + w]
+        try:
+            params = peakutils_gaussian_fit(ti, datai, center_only=False)
+            yfit = np.array([peakutils_gaussian(x, *params) for x in ti])
+            ssr = np.sum((yfit - datai) ** 2.0)
+            sst = np.sum((yfit - datai) ** 2.0)
+            fits.append(1 - (ssr / sst) if sst else np.nan)
+            if params[2] < gaussian_cutoff:
+                accepted.append(int(idx))
+        except RuntimeError:
+            pass
+    return accepted, fits
+
+
+def measure_bpm(data, t, fps, freq_max=1.0, filter_order=3,
+                gaussian_cutoff=10.0):
+    """Oracle for one reference ``measure()`` call (base.py:340-352).
+
+    Returns (bpm or None, filtered, peak_indices, peak_times).
+    """
+    filtered = butter_lowpass_filter(data, freq_max * 0.5, fps, filter_order)
+    width = int(np.floor(fps / freq_max))
+    peak_indices, _ = find_peaks(filtered, t, width, gaussian_cutoff)
+    peak_times = np.take(np.asarray(t, dtype=float), peak_indices)
+    diffs = np.diff(peak_times)
+    if len(diffs) > 0:
+        return 60.0 / np.mean(diffs), filtered, peak_indices, peak_times
+    return None, filtered, peak_indices, peak_times
+
+
+# ---------------------------------------------------------------------------
+# Vision-stage oracle (cv2-backed; reference pyramid.py / transforms.py)
+# ---------------------------------------------------------------------------
+
+def gaussian_pyramid(image, levels):
+    """Oracle for reference pyramid.py:9-17."""
+    import cv2
+
+    out = [np.asarray(image, dtype=float)]
+    for _ in range(1, levels):
+        out.append(cv2.pyrDown(out[-1]))
+    return out
+
+
+def laplacian_pyramid(image, levels):
+    """Oracle for reference pyramid.py:20-28."""
+    import cv2
+
+    gauss = gaussian_pyramid(image, levels)
+    lap = [gauss[i] - cv2.pyrUp(gauss[i + 1],
+                                dstsize=(gauss[i].shape[1], gauss[i].shape[0]))
+           for i in range(levels - 1)]
+    lap.append(gauss[-1])
+    return lap
+
+
+def laplacian_video_pyramid(video, levels):
+    """Oracle for reference pyramid.py:31-48: list of (T, h_i, w_i) arrays."""
+    per_frame = [laplacian_pyramid(f, levels) for f in video]
+    return [np.stack([pf[lvl] for pf in per_frame])
+            for lvl in range(levels)]
+
+
+def collapse_laplacian_video_pyramid(pyramid):
+    """Oracle for reference pyramid.py:51-69 (pyrUp-and-add chain per frame)."""
+    import cv2
+
+    T = pyramid[0].shape[0]
+    out = np.empty_like(pyramid[0])
+    for i in range(T):
+        img = pyramid[-1][i]
+        for lvl in range(len(pyramid) - 2, -1, -1):
+            size = (pyramid[lvl].shape[2], pyramid[lvl].shape[1])
+            img = cv2.pyrUp(img, dstsize=size) + pyramid[lvl][i]
+        out[i] = img
+    return out
+
+
+def temporal_bandpass_fft(data, fps, freq_min, freq_max, amplification):
+    """Oracle for reference transforms.py:82-102 — including the packed-rfft
+    bin-indexing quirk and the complex-ifft-of-a-real-packed-array step."""
+    import scipy.fftpack
+
+    data = np.asarray(data, dtype=float)
+    fft = scipy.fftpack.rfft(data, axis=0)
+    frequencies = scipy.fftpack.fftfreq(data.shape[0], d=1.0 / fps)
+    bound_low = (np.abs(frequencies - freq_min)).argmin()
+    bound_high = (np.abs(frequencies - freq_max)).argmin()
+    fft[bound_high:-bound_high] = 0
+    if bound_low != 0:
+        fft[:bound_low] = 0
+        fft[-bound_low:] = 0
+    result = np.real(scipy.fftpack.ifft(fft, axis=0))
+    return result * amplification
+
+
+def eulerian_magnification_bandpass(vid, fps, freq_min, freq_max,
+                                    amplification, pyramid_levels=4,
+                                    skip_levels_at_top=2, threshold=0.7):
+    """Oracle for reference transforms.py:144-198: bandpass the mid pyramid
+    levels, collapse the bandpassed pyramid, then suppress-top windowing."""
+    pyr = laplacian_video_pyramid(vid, pyramid_levels)
+    band = [np.zeros_like(lvl) for lvl in pyr]
+    for i in range(len(pyr)):
+        if i < skip_levels_at_top or i >= len(pyr) - 1:
+            continue
+        band[i] = temporal_bandpass_fft(pyr[i], fps, freq_min, freq_max,
+                                        amplification)
+    raw = collapse_laplacian_video_pyramid(band)
+
+    lo, hi = raw.min(), raw.max()
+    top = hi - (hi - lo) * threshold
+    masked = raw.copy()
+    masked[raw >= top] = lo
+    return masked, raw
+
+
+def locate(vid, fps, freq_min=0.1, freq_max=1.0, amplification=500,
+           pyramid_levels=9, skip_levels_at_top=4, temporal_threshold=0.7,
+           threshold=20):
+    """Oracle for reference base.py:547-601 (heatmap -> threshold -> largest
+    external contour -> bounding rect; None when no contours)."""
+    import cv2
+
+    masked, _ = eulerian_magnification_bandpass(
+        vid, fps, freq_min, freq_max, amplification,
+        pyramid_levels=pyramid_levels, skip_levels_at_top=skip_levels_at_top,
+        threshold=temporal_threshold)
+    avg_frame = np.average(masked, axis=0)
+    rng = avg_frame.max() - avg_frame.min()
+    avg_norm = (avg_frame - avg_frame.min()) / rng
+    heat_u8 = np.empty(avg_norm.shape, dtype=np.uint8)
+    heat_u8[:] = avg_norm * 255  # reference float_to_uint8 wrap semantics
+
+    _, thresh = cv2.threshold(heat_u8, threshold, 255, cv2.THRESH_BINARY)
+    found = cv2.findContours(thresh, cv2.RETR_EXTERNAL,
+                             cv2.CHAIN_APPROX_SIMPLE)
+    contours = found[0] if len(found) == 2 else found[1]
+    if len(contours) <= 0:
+        return None
+    c = max(contours, key=cv2.contourArea)
+    return cv2.boundingRect(c)
