@@ -1,0 +1,168 @@
+// Native host-side runtime for respmon_tpu.
+//
+// The reference delegates its host work to OpenCV's C++ (capture, cvtColor,
+// dtype conversion — reference base.py:227-233).  The TPU deployment's
+// host-side hot path is the camera->HBM feed: decode threads push frames,
+// the device-feeder thread pops the freshest frame and uploads it.  This
+// file provides the native pieces of that path:
+//
+//   - a lock-free single-producer/single-consumer frame ring buffer with
+//     monotonically increasing sequence numbers (drop-oldest semantics, so
+//     a slow consumer always sees the freshest frame, like a live camera),
+//   - fused BGR(u8) -> grayscale(f32 in [0,1]) conversion with OpenCV's
+//     integer-rounded BT.601 coefficients (cvtColor parity), written as a
+//     flat loop the compiler auto-vectorizes,
+//   - u8 -> f32 [0,1] grayscale conversion for pre-gray sources.
+//
+// Built as a plain shared library (no pybind11 — ctypes binds it; see
+// respmon_tpu/io/native.py).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <new>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Color conversion
+// ---------------------------------------------------------------------------
+
+// cv2.cvtColor BGR2GRAY uses fixed-point BT.601:
+//   y = (4899*R + 9617*G + 1868*B + (1<<13)) >> 14
+void bgr_u8_to_gray_f32(const uint8_t* bgr, float* out, int64_t n_pixels) {
+    const float inv255 = 1.0f / 255.0f;
+    for (int64_t i = 0; i < n_pixels; ++i) {
+        const uint32_t b = bgr[3 * i + 0];
+        const uint32_t g = bgr[3 * i + 1];
+        const uint32_t r = bgr[3 * i + 2];
+        const uint32_t y = (4899u * r + 9617u * g + 1868u * b + 8192u) >> 14;
+        out[i] = static_cast<float>(y) * inv255;
+    }
+}
+
+void gray_u8_to_f32(const uint8_t* gray, float* out, int64_t n_pixels) {
+    const float inv255 = 1.0f / 255.0f;
+    for (int64_t i = 0; i < n_pixels; ++i) {
+        out[i] = static_cast<float>(gray[i]) * inv255;
+    }
+}
+
+void f32_to_u8_wrap(const float* in, uint8_t* out, int64_t n) {
+    // The reference's float_to_uint8 wrap semantics (transforms.py:26-29):
+    // trunc toward zero, wrap mod 256.
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t v = static_cast<int32_t>(in[i] * 255.0f);
+        out[i] = static_cast<uint8_t>(v & 0xff);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// SPSC frame ring
+// ---------------------------------------------------------------------------
+
+struct FrameRing {
+    int64_t capacity;        // number of slots
+    int64_t frame_floats;    // floats per frame
+    float* slots;            // capacity * frame_floats
+    int64_t* seqs;           // per-slot sequence number
+    std::atomic<int64_t> head;  // next sequence to write
+    std::atomic<int64_t> tail;  // oldest unread sequence
+};
+
+FrameRing* ring_create(int64_t capacity, int64_t frame_floats) {
+    auto* r = new (std::nothrow) FrameRing();
+    if (!r) return nullptr;
+    r->capacity = capacity;
+    r->frame_floats = frame_floats;
+    r->slots = new (std::nothrow) float[capacity * frame_floats];
+    r->seqs = new (std::nothrow) int64_t[capacity]();
+    if (!r->slots || !r->seqs) {
+        delete[] r->slots;
+        delete[] r->seqs;
+        delete r;
+        return nullptr;
+    }
+    r->head.store(0);
+    r->tail.store(0);
+    return r;
+}
+
+void ring_destroy(FrameRing* r) {
+    if (!r) return;
+    delete[] r->slots;
+    delete[] r->seqs;
+    delete r;
+}
+
+// Producer: write a frame; overwrites the oldest when full (live-camera
+// drop-oldest semantics).  Returns the frame's sequence number.
+int64_t ring_push(FrameRing* r, const float* frame) {
+    const int64_t seq = r->head.load(std::memory_order_relaxed);
+    const int64_t slot = seq % r->capacity;
+    std::memcpy(r->slots + slot * r->frame_floats, frame,
+                sizeof(float) * r->frame_floats);
+    r->seqs[slot] = seq;
+    r->head.store(seq + 1, std::memory_order_release);
+    // Advance tail if we just overwrote the oldest unread slot.
+    int64_t tail = r->tail.load(std::memory_order_relaxed);
+    if (seq + 1 - tail > r->capacity) {
+        r->tail.store(seq + 1 - r->capacity, std::memory_order_release);
+    }
+    return seq;
+}
+
+// Consumer: pop the OLDEST unread frame (FIFO).  Returns its sequence
+// number, or -1 when empty.
+int64_t ring_pop(FrameRing* r, float* out) {
+    int64_t tail = r->tail.load(std::memory_order_relaxed);
+    const int64_t head = r->head.load(std::memory_order_acquire);
+    if (tail >= head) return -1;
+    // The producer may lap us between the check and the copy; detect via
+    // the slot's sequence stamp and retry forward.
+    for (;;) {
+        const int64_t slot = tail % r->capacity;
+        std::memcpy(out, r->slots + slot * r->frame_floats,
+                    sizeof(float) * r->frame_floats);
+        const int64_t stamp = r->seqs[slot];
+        if (stamp == tail) {
+            r->tail.store(tail + 1, std::memory_order_release);
+            return tail;
+        }
+        // Lapped: jump to the oldest valid sequence.
+        tail = r->head.load(std::memory_order_acquire) - r->capacity;
+        if (tail < 0) tail = 0;
+        if (tail >= r->head.load(std::memory_order_acquire)) return -1;
+    }
+}
+
+// Consumer: pop the NEWEST frame, discarding older ones (freshest-frame
+// semantics for live monitoring).  Returns its sequence, or -1 when empty.
+int64_t ring_pop_latest(FrameRing* r, float* out) {
+    const int64_t head = r->head.load(std::memory_order_acquire);
+    const int64_t tail = r->tail.load(std::memory_order_relaxed);
+    if (tail >= head) return -1;
+    const int64_t seq = head - 1;
+    const int64_t slot = seq % r->capacity;
+    std::memcpy(out, r->slots + slot * r->frame_floats,
+                sizeof(float) * r->frame_floats);
+    r->tail.store(head, std::memory_order_release);
+    return seq;
+}
+
+int64_t ring_size(const FrameRing* r) {
+    const int64_t head = r->head.load(std::memory_order_acquire);
+    const int64_t tail = r->tail.load(std::memory_order_acquire);
+    const int64_t n = head - tail;
+    return n < 0 ? 0 : (n > r->capacity ? r->capacity : n);
+}
+
+int64_t ring_dropped(const FrameRing* r) {
+    // Frames overwritten before being read.
+    const int64_t head = r->head.load(std::memory_order_acquire);
+    const int64_t tail = r->tail.load(std::memory_order_acquire);
+    const int64_t backlog = head - tail;
+    return backlog > r->capacity ? backlog - r->capacity : 0;
+}
+
+}  // extern "C"

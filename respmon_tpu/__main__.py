@@ -1,0 +1,61 @@
+"""CLI entry point (reference main.py equivalent).
+
+``python -m respmon_tpu [target]`` runs the monitor on a webcam index or a
+recorded clip, mirroring reference main.py:5-10 (timestamped INFO logging,
+flow mode, calibration image saved), with flags for everything the reference
+hardcodes or comments out (main.py:12-25's recorded-clip matrix).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="respmon_tpu",
+        description="TPU-native real-time respiration monitor")
+    p.add_argument("target", nargs="?", default="0",
+                   help="webcam index or video path (default: 0)")
+    p.add_argument("--method", choices=("average", "flow"), default="flow")
+    p.add_argument("--fps-limit", type=float, default=10.0)
+    p.add_argument("--error-reset-delay", type=float, default=10.0)
+    p.add_argument("--no-save", action="store_true",
+                   help="disable AVI/npy session recording")
+    p.add_argument("--no-viz", action="store_true",
+                   help="headless (no pyqtgraph window)")
+    p.add_argument("--no-sync", action="store_true",
+                   help="process faster than real time (recorded clips)")
+    p.add_argument("--calibration-image", action="store_true", default=True)
+    p.add_argument("--skip-calibration", type=int, nargs=4,
+                   metavar=("X", "Y", "W", "H"),
+                   help="pin a known ROI and skip EVM calibration")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(format="%(asctime)s :: %(message)s",
+                        level=logging.INFO)
+
+    target = int(args.target) if args.target.isdigit() else args.target
+
+    from respmon_tpu.runtime import RespiratoryMonitor
+
+    mon = RespiratoryMonitor(
+        capture_target=target,
+        save_calibration_image=args.calibration_image,
+        visualize=None if args.no_viz else "pyqtgraph",
+        fps_limit=args.fps_limit,
+        error_reset_delay=args.error_reset_delay,
+        save_all_data=not args.no_save,
+        motion_extraction_method=args.method,
+        auto_run=False,
+        sync_fps=not args.no_sync)
+    if args.skip_calibration:
+        mon.fps = mon.fps if mon.fps == mon.fps else args.fps_limit
+        mon.skip_calibration(*args.skip_calibration)
+    mon.run()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

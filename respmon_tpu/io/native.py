@@ -1,0 +1,163 @@
+"""ctypes bindings for the native host runtime (native/resp_native.cpp).
+
+Provides the C++ SPSC frame ring and fused color conversions used by the
+frame feeder.  The library auto-builds on first use if a toolchain is
+available; every entry point has a pure-numpy fallback so the framework
+works without the native layer (at reduced host throughput).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libresp_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build_library() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception as e:  # pragma: no cover
+        logger.info("native build unavailable: %s", e)
+        return False
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build_library():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:  # pragma: no cover
+            logger.info("native load failed: %s", e)
+            return None
+        lib.ring_create.restype = ctypes.c_void_p
+        lib.ring_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
+        lib.ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.ring_push.restype = ctypes.c_int64
+        lib.ring_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.ring_pop.restype = ctypes.c_int64
+        lib.ring_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.ring_pop_latest.restype = ctypes.c_int64
+        lib.ring_pop_latest.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.ring_size.restype = ctypes.c_int64
+        lib.ring_size.argtypes = [ctypes.c_void_p]
+        lib.ring_dropped.restype = ctypes.c_int64
+        lib.ring_dropped.argtypes = [ctypes.c_void_p]
+        lib.bgr_u8_to_gray_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                           ctypes.c_int64]
+        lib.gray_u8_to_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_int64]
+        lib.f32_to_u8_wrap.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_int64]
+        _lib = lib
+        return _lib
+
+
+def bgr_to_gray_f32(bgr: np.ndarray) -> np.ndarray:
+    """BGR uint8 (H, W, 3) -> grayscale float32 [0,1] with cv2's
+    fixed-point BT.601 rounding."""
+    h, w = bgr.shape[:2]
+    out = np.empty((h, w), np.float32)
+    lib = load_native()
+    if lib is not None and bgr.flags["C_CONTIGUOUS"]:
+        lib.bgr_u8_to_gray_f32(bgr.ctypes.data, out.ctypes.data, h * w)
+        return out
+    b = bgr[..., 0].astype(np.uint32)
+    g = bgr[..., 1].astype(np.uint32)
+    r = bgr[..., 2].astype(np.uint32)
+    y = (4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14
+    return (y.astype(np.float32) / 255.0)
+
+
+class FrameRing:
+    """SPSC frame ring with drop-oldest live semantics.
+
+    Uses the C++ implementation when available; otherwise a GIL-protected
+    numpy ring with identical semantics.
+    """
+
+    def __init__(self, capacity: int, frame_shape) -> None:
+        self.capacity = capacity
+        self.frame_shape = tuple(frame_shape)
+        self._n = int(np.prod(frame_shape))
+        self._lib = load_native()
+        if self._lib is not None:
+            self._ptr = self._lib.ring_create(capacity, self._n)
+            if not self._ptr:  # pragma: no cover
+                self._lib = None
+        if self._lib is None:
+            self._slots = np.zeros((capacity, self._n), np.float32)
+            self._seqs = np.zeros(capacity, np.int64)
+            self._head = 0
+            self._tail = 0
+            self._lock = threading.Lock()
+
+    def push(self, frame: np.ndarray) -> int:
+        f = np.ascontiguousarray(frame, np.float32).reshape(-1)
+        if self._lib is not None:
+            return int(self._lib.ring_push(self._ptr, f.ctypes.data))
+        with self._lock:
+            seq = self._head
+            slot = seq % self.capacity
+            self._slots[slot] = f
+            self._seqs[slot] = seq
+            self._head = seq + 1
+            if self._head - self._tail > self.capacity:
+                self._tail = self._head - self.capacity
+            return seq
+
+    def _pop(self, latest: bool):
+        out = np.empty(self._n, np.float32)
+        if self._lib is not None:
+            fn = self._lib.ring_pop_latest if latest else self._lib.ring_pop
+            seq = int(fn(self._ptr, out.ctypes.data))
+        else:
+            with self._lock:
+                if self._tail >= self._head:
+                    return None, -1
+                seq = (self._head - 1) if latest else self._tail
+                out[:] = self._slots[seq % self.capacity]
+                self._tail = self._head if latest else self._tail + 1
+        if seq < 0:
+            return None, -1
+        return out.reshape(self.frame_shape), seq
+
+    def pop(self):
+        """Oldest unread frame (FIFO) or (None, -1)."""
+        return self._pop(latest=False)
+
+    def pop_latest(self):
+        """Newest frame, discarding older (live monitoring) or (None, -1)."""
+        return self._pop(latest=True)
+
+    def __len__(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.ring_size(self._ptr))
+        with self._lock:
+            return min(self._head - self._tail, self.capacity)
+
+    def __del__(self):  # pragma: no cover
+        lib = getattr(self, "_lib", None)
+        ptr = getattr(self, "_ptr", None)
+        if lib is not None and ptr:
+            lib.ring_destroy(ptr)

@@ -113,8 +113,12 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
     Delta0 = 100.0 * jnp.sqrt(jnp.sum((D0 * p0) ** 2))
     Delta0 = jnp.where(Delta0 == 0, 100.0, Delta0)
 
-    def step(carry, _):
-        p, F, D, Delta, done = carry
+    def cond(carry):
+        it, p, F, D, Delta, done = carry
+        return (it < iters) & ~done
+
+    def step(carry):
+        it, p, F, D, Delta, done = carry
         _, r = cost_and_resid(p)
         J = jacobian(p)
         D = jnp.maximum(D, jnp.sqrt(jnp.sum(J * J, axis=0)))
@@ -162,18 +166,14 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
         F_acc = jnp.where(accept, F_new, F)
         xtol_hit = Delta_new <= xtol * jnp.sqrt(jnp.sum((D * p_acc) ** 2))
         done_new = done | ftol_hit | xtol_hit
+        return (it + 1, p_acc, F_acc, D, Delta_new, done_new)
 
-        keep = ~done
-        return (
-            jnp.where(keep, p_acc, p),
-            jnp.where(keep, F_acc, F),
-            D,
-            jnp.where(keep, Delta_new, Delta),
-            done_new,
-        ), None
-
-    init = (p0, F0, D0, Delta0, jnp.asarray(False))
-    (p, F, _, _, done), _ = jax.lax.scan(step, init, None, length=iters)
+    init = (jnp.asarray(0, jnp.int32), p0, F0, D0, Delta0,
+            jnp.asarray(False))
+    # while_loop (not a fixed scan) so a vmapped batch stops as soon as all
+    # lanes converge — the common case is <40 iterations, not the full
+    # budget, which matters inside the whole-clip scan fast path.
+    _, p, F, _, _, done = jax.lax.while_loop(cond, step, init)
 
     finite = jnp.all(jnp.isfinite(p)) & jnp.isfinite(F)
     enough = nvalid >= 3  # need >= #params points, else curve_fit raises

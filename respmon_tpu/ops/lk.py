@@ -184,7 +184,8 @@ def _track_point_level(prev_img, next_img, dxm, dym, prev_pt, next_pt,
     return pt_fin, new_status
 
 
-@partial(jax.jit, static_argnames=("win", "max_level", "max_iters"))
+@partial(jax.jit, static_argnames=("win", "max_level", "max_iters", "eps",
+                                   "min_eig_thresh"))
 def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
                              pts: jnp.ndarray, valid: jnp.ndarray,
                              win: int = 15, max_level: int = 2,
@@ -206,7 +207,9 @@ def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
     derivs = [_scharr_derivs(p) for p in prev_pyr]
 
     def track_one(pt0, v):
-        next_pt = pt0 / (2.0 ** (max_level + 1)) * 2.0
+        # Seeded so the loop's leading *2 yields pt0 / 2^max_level at the top
+        # level (cv2's nextPt init when no initial-flow flag is set).
+        next_pt = pt0 / (2.0 ** (max_level + 1))
         status = v
 
         for level in range(max_level, -1, -1):

@@ -1,0 +1,216 @@
+"""Multi-stream (multi-kennel) monitoring: vmap over streams, shard over
+chips.
+
+BASELINE.md config 5: 64 concurrent 1080p streams.  Each stream is an
+independent monitor (own ROI, own signal state), so the scaling strategy is
+pure data parallelism: ``vmap`` the single-stream pipeline over a leading
+stream axis and shard that axis across the mesh with ``NamedSharding`` —
+XLA compiles one SPMD program per chip with zero inter-chip collectives
+(SURVEY.md §2.2 table).
+
+All streams share one compiled program, which requires common static shapes:
+frames are batched (S, T, H, W) and ROI crops use one common bucket (the max
+over streams, rounded to the configured bucket size).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from respmon_tpu.config import MonitorConfig
+from respmon_tpu.ops import filters
+from respmon_tpu.parallel.mesh import stream_sharding
+from respmon_tpu.pipeline import evm, motion, scan
+from respmon_tpu.pipeline import bpm as bpm_mod
+
+
+class BatchedLocate(NamedTuple):
+    found: jnp.ndarray   # (S,) bool
+    boxes: jnp.ndarray   # (S, 4) int32 x,y,w,h
+
+
+@partial(jax.jit, static_argnames=("fps", "cfg"))
+def locate_streams(buffers: jnp.ndarray, fps: float, cfg) -> BatchedLocate:
+    """vmapped EVM calibration over (S, T, H, W)."""
+
+    def one(buf):
+        r = evm.locate(buf, fps, cfg)
+        return r.found, jnp.stack([r.x, r.y, r.w, r.h])
+
+    found, boxes = jax.vmap(one)(buffers)
+    return BatchedLocate(found=found, boxes=boxes)
+
+
+@partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg",
+                                   "estimate_every_frame"))
+def measure_clip_streams(frames: jnp.ndarray, rois: jnp.ndarray,
+                         spec: motion.MeasureSpec,
+                         coeffs: filters.FilterCoeffs, min_dist: int, cfg,
+                         estimate_every_frame: bool = True):
+    """vmapped whole-clip measurement over (S, T, H, W) + (S, 4) ROIs."""
+    fn = partial(scan.measure_clip, spec=spec, coeffs=coeffs,
+                 min_dist=min_dist, cfg=cfg,
+                 estimate_every_frame=estimate_every_frame)
+    return jax.vmap(lambda f, r: fn(f, r))(frames, rois)
+
+
+class StreamStepResult(NamedTuple):
+    state: motion.MeasureState     # batched (S, ...)
+    samples: jnp.ndarray           # (S,)
+    bpm: jnp.ndarray               # (S,)
+    has_bpm: jnp.ndarray           # (S,) bool
+    error: jnp.ndarray             # (S,) bool
+
+
+def _monitor_step_batched(states: motion.MeasureState, frames: jnp.ndarray,
+                          spec: motion.MeasureSpec,
+                          coeffs: filters.FilterCoeffs, min_dist: int,
+                          cfg) -> StreamStepResult:
+    def one(state, frame):
+        state, sample = motion.measure_step(state, frame, spec)
+        res = bpm_mod.estimate_bpm(state.data, state.t, state.count,
+                                   coeffs, min_dist, cfg)
+        ran = state.count > cfg.initialization_length
+        return state, sample, res.bpm, res.has_bpm & ran, state.error
+
+    states, samples, bpm, has, err = jax.vmap(one)(states, frames)
+    return StreamStepResult(state=states, samples=samples, bpm=bpm,
+                            has_bpm=has, error=err)
+
+
+@partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg"))
+def monitor_step_streams(states: motion.MeasureState, frames: jnp.ndarray,
+                         spec: motion.MeasureSpec,
+                         coeffs: filters.FilterCoeffs, min_dist: int,
+                         cfg) -> StreamStepResult:
+    """One live monitoring step for S streams at once (single-device /
+    GSPMD path).  NOTE: under GSPMD sharding the vmapped ``while_loop``
+    conditions reduce across ALL streams, inserting per-iteration
+    all-reduces; multi-chip deployments should use
+    ``make_sharded_monitor_step`` (shard_map) instead, where each chip's
+    loops exit independently."""
+    return _monitor_step_batched(states, frames, spec, coeffs, min_dist, cfg)
+
+
+def make_sharded_monitor_step(mesh: Mesh, spec: motion.MeasureSpec,
+                              coeffs: filters.FilterCoeffs, min_dist: int,
+                              cfg, axis: str = "streams"):
+    """shard_map-wrapped stream step: the per-chip program is completely
+    local (zero collectives — each chip monitors its own kennels), so
+    convergence loops on one chip never stall another."""
+    p = jax.sharding.PartitionSpec(axis)
+
+    def local(states, frames):
+        return _monitor_step_batched(states, frames, spec, coeffs,
+                                     min_dist, cfg)
+
+    # check_vma=False: the step is collective-free by construction (verified
+    # in tests via HLO inspection); the varying-axis analysis rejects scan
+    # carries initialized from constants inside the per-shard program.
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(p, p),
+                                 out_specs=p, check_vma=False))
+
+
+def make_sharded_locate(mesh: Mesh, fps: float, cfg,
+                        axis: str = "streams"):
+    """shard_map-wrapped batched calibration (locate per local stream)."""
+    p = jax.sharding.PartitionSpec(axis)
+
+    def local(buffers):
+        def one(buf):
+            r = evm.locate(buf, fps, cfg)
+            return r.found, jnp.stack([r.x, r.y, r.w, r.h])
+
+        found, boxes = jax.vmap(one)(buffers)
+        return BatchedLocate(found=found, boxes=boxes)
+
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(p,),
+                                 out_specs=p, check_vma=False))
+
+
+def init_stream_states(spec: motion.MeasureSpec, rois: np.ndarray,
+                       dtype=jnp.float32) -> motion.MeasureState:
+    """Batched initial states from per-stream ROIs (S, 4)."""
+    s = rois.shape[0]
+    base = motion.init_state(spec, (0, 0, 0, 0), dtype=dtype)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (s,) + x.shape).copy(), base)
+    return batched._replace(roi=jnp.asarray(rois, jnp.int32))
+
+
+def shard_streams(tree, mesh: Mesh, axis: str = "streams"):
+    """Place a pytree with leading stream axes onto the mesh."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, stream_sharding(mesh, np.ndim(x), axis)), tree)
+
+
+class MultiStreamMonitor:
+    """Fleet monitor: S concurrent streams on a device mesh.
+
+    The multi-kennel deployment surface (BASELINE.md config 5): calibrate
+    all streams, then step frames in lockstep batches.  Per-stream error
+    flags surface so the host can recalibrate individual streams (by
+    re-running ``calibrate`` on fresh buffers and patching ``states.roi``).
+    """
+
+    def __init__(self, cfg: MonitorConfig, mesh: Optional[Mesh],
+                 frame_hw: Tuple[int, int], fps: float,
+                 dtype=jnp.float32) -> None:
+        self.cfg = cfg
+        self.mesh = mesh
+        self.fps = float(fps)
+        self.frame_hw = frame_hw
+        self.dtype = dtype
+        self.spec: Optional[motion.MeasureSpec] = None
+        self.states: Optional[motion.MeasureState] = None
+        self._step_fn = None
+        self.coeffs = filters.design_butter_lowpass(
+            cfg.calibration.freq_max * 0.5, self.fps,
+            cfg.measure.filter_order)
+        self.min_dist = max(int(np.floor(fps / cfg.calibration.freq_max)), 1)
+
+    def calibrate(self, buffers: np.ndarray) -> BatchedLocate:
+        """buffers: (S, T, H, W).  Sets up batched measure state."""
+        dev = jnp.asarray(buffers, self.dtype)
+        if self.mesh is not None:
+            dev = shard_streams(dev, self.mesh)
+            loc = make_sharded_locate(self.mesh, self.fps,
+                                      self.cfg.calibration)(dev)
+        else:
+            loc = locate_streams(dev, self.fps, self.cfg.calibration)
+        boxes = np.asarray(loc.boxes)
+        wmax = int(boxes[:, 2].max(initial=1))
+        hmax = int(boxes[:, 3].max(initial=1))
+        self.spec = motion.MeasureSpec.for_roi(
+            self.cfg, self.frame_hw[0], self.frame_hw[1], wmax, hmax,
+            self.fps)
+        self.states = init_stream_states(self.spec, boxes, self.dtype)
+        self._step_fn = None  # spec may have changed
+        if self.mesh is not None:
+            self.states = shard_streams(self.states, self.mesh)
+        return loc
+
+    def step(self, frames: np.ndarray) -> StreamStepResult:
+        """frames: (S, H, W) — one new frame per stream."""
+        assert self.states is not None, "calibrate() first"
+        dev = jnp.asarray(frames, self.dtype)
+        if self.mesh is not None:
+            dev = shard_streams(dev, self.mesh)
+            if self._step_fn is None:
+                self._step_fn = make_sharded_monitor_step(
+                    self.mesh, self.spec, self.coeffs, self.min_dist,
+                    self.cfg.measure)
+            res = self._step_fn(self.states, dev)
+        else:
+            res = monitor_step_streams(self.states, dev, self.spec,
+                                       self.coeffs, self.min_dist,
+                                       self.cfg.measure)
+        self.states = res.state
+        return res

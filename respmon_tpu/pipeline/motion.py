@@ -1,0 +1,208 @@
+"""Per-frame motion extraction — the reference's measure-state inner loop as
+a pure, scannable device function.
+
+Reference semantics (base.py:354-407 + 464-494): crop the frame to the
+calibrated ROI, then either
+  - 'average': mean of the cropped pixels (base.py:355-358), or
+  - 'flow': Shi-Tomasi corners on the first frame (error if none), pyramidal
+    LK tracking afterwards, surviving-point bookkeeping, NaN on lost
+    tracking, mean (old - new) displacement pushed to a motion buffer, and a
+    full-buffer PCA first-eigenvector projection of the newest sample
+    (base.py:360-407);
+plus the ring-buffer discipline (popleft at capacity, base.py:473-475) and
+the time axis t += 1/fps (base.py:481-484).
+
+TPU-native design: the ROI crop is a ``lax.dynamic_slice`` into a
+*statically-bucketed* window (ROI dims rounded up to ``roi_bucket`` so jit
+compiles once per bucket, not per ROI) with a validity mask; the flow state
+(points + masks + motion ring) lives in a NamedTuple pytree carried through
+``lax.scan``; NaN-sample error detection becomes an explicit boolean flag
+(the reference's ``detect_errors`` identity-checks the np.nan singleton,
+which only flow-mode NaNs produce — base.py:543-545).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from respmon_tpu.config import FeatureParams, LKParams, MonitorConfig
+from respmon_tpu.ops import corners, lk, pca
+
+
+@dataclasses.dataclass(frozen=True)
+class MeasureSpec:
+    """Static (hashable) parameters of the measurement program."""
+
+    frame_h: int
+    frame_w: int
+    crop_h: int                 # bucketed ROI height (static)
+    crop_w: int                 # bucketed ROI width (static)
+    buffer_length: int          # signal ring capacity (reference 128)
+    method: str                 # 'average' | 'flow'
+    fps: float
+    features: FeatureParams = FeatureParams()
+    lk: LKParams = LKParams()
+
+    @staticmethod
+    def bucket(dim: int, bucket: int, cap: int) -> int:
+        return min(-(-dim // bucket) * bucket, cap)
+
+    @classmethod
+    def for_roi(cls, cfg: MonitorConfig, frame_h: int, frame_w: int,
+                roi_w: int, roi_h: int, fps: float) -> "MeasureSpec":
+        return cls(frame_h=frame_h, frame_w=frame_w,
+                   crop_h=cls.bucket(roi_h, cfg.roi_bucket, frame_h),
+                   crop_w=cls.bucket(roi_w, cfg.roi_bucket, frame_w),
+                   buffer_length=cfg.measure.buffer_length,
+                   method=cfg.motion_extraction_method, fps=fps,
+                   features=cfg.features, lk=cfg.lk)
+
+
+class MeasureState(NamedTuple):
+    """Device-side measurement state (a pytree scanned over frames)."""
+
+    # Signal ring buffers (right-aligned, newest last).
+    data: jnp.ndarray          # (N,)
+    t: jnp.ndarray             # (N,)
+    count: jnp.ndarray         # int32 valid samples
+    # ROI (dynamic so one compiled program serves any ROI of this bucket).
+    roi: jnp.ndarray           # (4,) int32: x, y, w, h
+    # Flow state.
+    initialized: jnp.ndarray   # bool — corners detected yet
+    prev_crop: jnp.ndarray     # (crop_h, crop_w) uint8-scale float
+    pts: jnp.ndarray           # (max_corners, 2) float32 crop coords
+    pts_valid: jnp.ndarray     # (max_corners,) bool
+    motion_xy: jnp.ndarray     # (N, 2) mean-displacement ring
+    motion_count: jnp.ndarray  # int32
+    # Error channel (the NaN-singleton detect_errors analog).
+    error: jnp.ndarray         # bool — tracking lost / no keypoints
+
+
+def init_state(spec: MeasureSpec, roi: Tuple[int, int, int, int],
+               dtype=jnp.float32) -> MeasureState:
+    n = spec.buffer_length
+    m = spec.features.max_corners
+    return MeasureState(
+        data=jnp.zeros((n,), dtype),
+        t=jnp.zeros((n,), dtype),
+        count=jnp.asarray(0, jnp.int32),
+        roi=jnp.asarray(roi, jnp.int32),
+        initialized=jnp.asarray(False),
+        prev_crop=jnp.zeros((spec.crop_h, spec.crop_w), dtype),
+        pts=jnp.zeros((m, 2), jnp.float32),
+        pts_valid=jnp.zeros((m,), bool),
+        motion_xy=jnp.zeros((n, 2), dtype),
+        motion_count=jnp.asarray(0, jnp.int32),
+        error=jnp.asarray(False),
+    )
+
+
+def _crop_and_mask(frame: jnp.ndarray, roi: jnp.ndarray, spec: MeasureSpec):
+    """Bucketed ROI crop.  dynamic_slice clamps the start to fit, so the ROI
+    may sit at an offset inside the window; the mask accounts for it."""
+    x, y, w, h = roi[0], roi[1], roi[2], roi[3]
+    sx = jnp.clip(x, 0, spec.frame_w - spec.crop_w)
+    sy = jnp.clip(y, 0, spec.frame_h - spec.crop_h)
+    crop = jax.lax.dynamic_slice(frame, (sy, sx), (spec.crop_h, spec.crop_w))
+    dx = x - sx
+    dy = y - sy
+    rows = jnp.arange(spec.crop_h)[:, None]
+    cols = jnp.arange(spec.crop_w)[None, :]
+    mask = (rows >= dy) & (rows < dy + h) & (cols >= dx) & (cols < dx + w)
+    return crop, mask, (dx, dy)
+
+
+def _to_u8_scale(img: jnp.ndarray) -> jnp.ndarray:
+    """float [0,1] -> float on the uint8 [0,255] lattice (the reference runs
+    corners/LK on float_to_uint8 crops, base.py:364-371)."""
+    return jnp.trunc(img * 255.0)
+
+
+def _push(ring: jnp.ndarray, value) -> jnp.ndarray:
+    return jnp.concatenate([ring[1:], jnp.reshape(
+        jnp.asarray(value, ring.dtype), (1,) + ring.shape[1:])], axis=0)
+
+
+def measure_step(state: MeasureState, frame: jnp.ndarray,
+                 spec: MeasureSpec) -> Tuple[MeasureState, jnp.ndarray]:
+    """One frame of the measure state: crop -> motion value -> ring push.
+
+    Returns (new_state, sample).  ``new_state.error`` reports the reference's
+    error triggers (no keypoints at init / NaN from lost tracking).
+    """
+    crop, mask, _ = _crop_and_mask(frame, state.roi, spec)
+
+    if spec.method == "average":
+        total = jnp.sum(jnp.where(mask, crop, 0.0))
+        sample = total / jnp.maximum(jnp.sum(mask), 1)
+        new_state = state
+        error = state.error
+    else:
+        sample, new_state, error = _flow_motion(state, crop, mask, spec)
+
+    t_next = jnp.where(state.count == 0, 0.0,
+                       state.t[-1] + 1.0 / spec.fps)
+    new_state = new_state._replace(
+        data=_push(state.data, sample),
+        t=_push(state.t, t_next),
+        count=jnp.minimum(state.count + 1, spec.buffer_length),
+        error=error,
+    )
+    return new_state, sample
+
+
+def _flow_motion(state: MeasureState, crop, mask, spec: MeasureSpec):
+    crop_u8 = _to_u8_scale(jnp.where(mask, crop, 0.0))
+
+    def first_frame(state):
+        cs = corners.good_features_to_track(
+            crop_u8, max_corners=spec.features.max_corners,
+            quality_level=spec.features.quality_level,
+            min_distance=spec.features.min_distance,
+            block_size=spec.features.block_size, roi_mask=mask)
+        err = cs.count < 1  # "No motion key points found" (base.py:367-368)
+        new = state._replace(initialized=jnp.asarray(True),
+                             prev_crop=crop_u8.astype(state.prev_crop.dtype),
+                             pts=cs.pts, pts_valid=cs.valid)
+        return jnp.asarray(0.0, crop.dtype), new, err
+
+    def track_frame(state):
+        fr = lk.calc_optical_flow_pyr_lk(
+            state.prev_crop, crop_u8.astype(state.prev_crop.dtype),
+            state.pts, state.pts_valid,
+            win=spec.lk.win_size[0], max_level=spec.lk.max_level,
+            max_iters=spec.lk.max_iters, eps=spec.lk.epsilon)
+        good = fr.status & state.pts_valid
+        n_good = jnp.sum(good)
+        lost = n_good == 0   # -> NaN sample (base.py:373-386)
+
+        disp = (state.pts - fr.pts)  # old - new (base.py:388)
+        gw = good.astype(crop.dtype)[:, None]
+        mean_disp = jnp.sum(disp * gw, axis=0) / \
+            jnp.maximum(n_good, 1).astype(crop.dtype)
+
+        motion_xy = jnp.where(lost, state.motion_xy,
+                              _push(state.motion_xy, mean_disp))
+        motion_count = jnp.where(
+            lost, state.motion_count,
+            jnp.minimum(state.motion_count + 1, spec.buffer_length))
+
+        # PCA projection of the newest sample once >= 2 motions buffered
+        # (base.py:396-407); before that the sample is 0.0.
+        mmask = jnp.arange(spec.buffer_length) >= \
+            (spec.buffer_length - motion_count)
+        proj = pca.pca_project_last(motion_xy, mmask)
+        sample = jnp.where(motion_count >= 2, proj, 0.0)
+        sample = jnp.where(lost, jnp.nan, sample).astype(crop.dtype)
+
+        new = state._replace(
+            prev_crop=crop_u8.astype(state.prev_crop.dtype),
+            pts=fr.pts, pts_valid=good,
+            motion_xy=motion_xy, motion_count=motion_count)
+        return sample, new, lost
+
+    return jax.lax.cond(state.initialized, track_frame, first_frame, state)

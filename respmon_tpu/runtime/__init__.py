@@ -1,0 +1,5 @@
+"""Host-side runtime: the monitor state machine and streaming drivers."""
+
+from respmon_tpu.runtime.monitor import RespiratoryMonitor
+
+__all__ = ["RespiratoryMonitor"]

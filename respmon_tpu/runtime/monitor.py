@@ -1,0 +1,462 @@
+"""The RespiratoryMonitor: calibrate → measure → error → recalibrate.
+
+A host state machine driving jitted device programs, preserving the
+observable behavior of the reference monitor (base.py:20-545):
+
+  - constructor kwargs and assert validation (base.py:21-34),
+  - per-frame loop: capture → state dispatch → UI update → fps sync
+    (base.py:409-513), including the retry-on-no-contour calibration path,
+    the dropped frame on the locate iteration, NaN error detection, the
+    10 s error-reset delay, and reset semantics (base.py:515-533),
+  - fps probing/limiting (base.py:303-310) and wall-clock sync
+    (base.py:535-541),
+  - ``skip_calibration`` ROI pinning (base.py:166-172),
+  - session recording (AVI + npy) and the calibration montage PNG,
+  - Benchmarker phase tags (base.py:410-412).
+
+Departures from the reference (deliberate, documented):
+  - Construction does NOT block: pass ``auto_run=True`` (the default mirrors
+    the reference's ctor-runs behavior) or call ``run()`` explicitly;
+    ``step()`` exposes single-frame stepping for tests and embedding.
+  - Compute runs as two jitted device programs: ``locate`` once per
+    calibration and ``measure_step`` + ``estimate_bpm`` per frame (ROI dims
+    are bucketed so recompiles are bounded); the whole-clip ``lax.scan``
+    fast path lives in ``pipeline/scan.py``.
+  - A capture source can be injected (ArrayCapture) for recorded-clip
+    replay, and ``sync_fps=False`` disables wall-clock sleeping for
+    faster-than-real-time offline runs.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from collections import deque
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from respmon_tpu.config import (CalibrationConfig, MeasureConfig,
+                                MonitorConfig)
+from respmon_tpu.io.capture import CaptureSource, open_capture
+from respmon_tpu.io.recorder import SessionRecorder
+from respmon_tpu.ops import filters
+from respmon_tpu.pipeline import bpm as bpm_mod
+from respmon_tpu.pipeline import evm, motion
+from respmon_tpu.utils.bbox import reduce_bounding_box
+from respmon_tpu.utils.bench import Benchmarker
+from respmon_tpu.viz.ui import make_ui
+
+logger = logging.getLogger(__name__)
+
+_measure_step_jit = jax.jit(motion.measure_step, static_argnames=("spec",))
+
+
+class RespiratoryMonitor:
+    def __init__(self, capture_target=0, save_calibration_image=False,
+                 visualize: Optional[str] = "pyqtgraph", fig_size=None,
+                 fps_limit=10, error_reset_delay=10.0, save_all_data=True,
+                 motion_extraction_method="average",
+                 config: Optional[MonitorConfig] = None,
+                 capture: Optional[CaptureSource] = None,
+                 auto_run: bool = True, sync_fps: bool = True,
+                 compute_dtype=jnp.float32):
+        cfg = config or MonitorConfig()
+        cfg = MonitorConfig(
+            fps_limit=fps_limit, error_reset_delay=error_reset_delay,
+            save_all_data=save_all_data,
+            save_calibration_image=save_calibration_image,
+            visualize=visualize, fig_size=fig_size,
+            motion_extraction_method=motion_extraction_method,
+            disable_error_detection=cfg.disable_error_detection,
+            calibration=cfg.calibration, measure=cfg.measure,
+            features=cfg.features, lk=cfg.lk,
+            compute_dtype=cfg.compute_dtype, roi_bucket=cfg.roi_bucket)
+        self.config = cfg.validate()
+        self.benchmarker = Benchmarker()
+        self.sync_fps_enabled = sync_fps
+        self.compute_dtype = compute_dtype
+
+        # Capture (probe fps/size like base.py:46-51).
+        self.capture_target = capture_target
+        self.cap = capture if capture is not None \
+            else open_capture(capture_target)
+        self.fps = self.cap.fps
+        self.width = self.cap.width
+        self.height = self.cap.height
+
+        cal = cfg.calibration
+        self.calibration_buffer_target_length = cal.buffer_length
+        self.calibration_buffer = np.zeros(
+            (cal.buffer_length, self.height, self.width), dtype=np.float32)
+        self.calibration_buffer_idx = 0
+
+        # Observable buffers mirroring the reference's deques
+        # (base.py:121-133).
+        self.all_data = []
+        self.data = deque()
+        self.t = deque()
+        self.freq = deque()
+        self.confidence = deque()
+        self.num_peaks = deque()
+        self.num_peaks_mean = deque()
+        self.motion_data = deque()
+        self.filtered_data = []
+        self.peak_indices = []
+        self.peak_times = []
+        self.buffers = [self.data, self.confidence, self.t, self.freq,
+                        self.num_peaks, self.num_peaks_mean, self.motion_data]
+
+        self.x = self.y = self.w = self.h = None
+        self.peak_minimum_sample_distance = 0
+        self.disable_error_detection = cfg.disable_error_detection
+        self.error_message = None
+        self.current_frame = None
+        self.cropped_image = None
+        self.display_frame = None
+        self.motion_key_points = None
+
+        self.state = "initialize"
+        self.calibration_start_time = math.nan
+        self.loop_start_time = math.nan
+        self.reset_start_time = math.nan
+        self.frames_processed = 0
+
+        self._recorder: Optional[SessionRecorder] = None
+        self._measure_spec: Optional[motion.MeasureSpec] = None
+        self._measure_state: Optional[motion.MeasureState] = None
+        self._lowpass = None
+
+        self.ui = make_ui(visualize, fig_size)
+
+        if auto_run:
+            self.run()
+
+    # ------------------------------------------------------------------
+    # Public control surface
+    # ------------------------------------------------------------------
+
+    def skip_calibration(self, x, y, w, h):
+        """Pin a known ROI and jump straight to measurement
+        (reference base.py:166-172)."""
+        self.x, self.y, self.w, self.h = x, y, w, h
+        self.peak_minimum_sample_distance = int(
+            np.floor(self.fps / self.config.calibration.freq_max))
+        self._setup_measurement()
+        self.state = "measure"
+
+    def run(self):
+        """Process frames until the stream ends (reference base.py:409-513)."""
+        for tag in ("Measurement Loop", "Frame Capture",
+                    "Calibration Measurement"):
+            if not self.benchmarker.has_tag(tag):
+                self.benchmarker.add_tag(tag)
+        while self.cap.is_open():
+            if not self.step():
+                break
+        logger.info("Capture closed.")
+        if self.freq:
+            logger.info("Final BPM estimate: {0:.2f}".format(self.freq[-1]))
+        self.cap.release()
+        if self.config.save_all_data and self._recorder is not None:
+            self._recorder.all_data = self.all_data
+            self._recorder.finalize()
+
+    def step(self) -> bool:
+        """One loop iteration.  Returns False at end of stream."""
+        self.loop_start_time = time.time()
+
+        self.benchmarker.tick_start("Frame Capture")
+        frame = self.cap.next_frame()
+        if frame is None:
+            return False
+        self.current_frame = frame
+        self.benchmarker.tick_end("Frame Capture")
+
+        skip_ui_and_sync = False
+        if self.state == "initialize":
+            self._initialize()
+            self.state = "calibration"
+        elif self.state == "calibration":
+            skip_ui_and_sync = self._calibration_step(frame)
+        elif self.state == "measure":
+            self._measure_frame(frame)
+        elif self.state == "error":
+            if time.time() - self.reset_start_time >= \
+                    self.config.error_reset_delay:
+                logger.info("Benchmark Report...\r\n"
+                            + self.benchmarker.get_report())
+                self.reset()
+                self.state = "calibration"
+
+        if not skip_ui_and_sync:
+            self.update_ui()
+            self.sync_to_fps()
+        self.frames_processed += 1
+        return True
+
+    def trigger_error(self, msg=""):
+        self.state = "error"
+        self.error_message = msg
+        logger.warning("Error triggered: {0}".format(msg))
+        self.reset_start_time = time.time()
+
+    def reset(self):
+        """Clear all buffers and restart calibration (base.py:515-533)."""
+        self.state = "initialize"
+        for b in self.buffers:
+            b.clear()
+        self.ui.clear_plots()
+        self.filtered_data = []
+        self.peak_indices = []
+        self.peak_times = []
+        self.calibration_buffer_idx = 0
+        self._measure_state = None
+        self.cropped_image = None
+        self.motion_key_points = None
+        if self._recorder is not None:
+            self._recorder.release_video()
+
+    def detect_errors(self) -> bool:
+        """True when the newest motion sample signals lost tracking.  The
+        reference identity-checks the np.nan singleton (base.py:543-545),
+        which only the flow path produces; semantically: flow-mode NaN."""
+        if not self.data:
+            return False
+        return (self.config.motion_extraction_method == "flow"
+                and isinstance(self.data[-1], float)
+                and math.isnan(self.data[-1]))
+
+    def sync_to_fps(self):
+        if not self.sync_fps_enabled:
+            return
+        fps_x = self.fps
+        if math.isnan(fps_x):
+            fps_x = self.config.fps_limit
+        sleep_time = (1.0 / fps_x) - (time.time() - self.loop_start_time)
+        if sleep_time > 0:
+            time.sleep(sleep_time)
+
+    # ------------------------------------------------------------------
+    # State handlers
+    # ------------------------------------------------------------------
+
+    def _initialize(self):
+        self.calibration_start_time = time.time()
+        self.calibration_buffer_idx = 0
+
+    def detect_fps(self):
+        """Empirical fps measurement + limiting (base.py:303-310)."""
+        if self.fps == 0 or math.isnan(self.fps):
+            self.fps = self.calibration_buffer_target_length / \
+                (time.time() - self.calibration_start_time)
+            logger.info("Computed FPS as {0}.".format(self.fps))
+        if self.fps > self.config.fps_limit:
+            logger.info("FPS Limited to {0}.".format(self.config.fps_limit))
+            self.fps = self.config.fps_limit
+        logger.info("Final FPS is {0}.".format(self.fps))
+
+    def _calibration_step(self, frame) -> bool:
+        """Returns True when UI/sync should be skipped (retry path)."""
+        if self.calibration_buffer_idx < self.calibration_buffer_target_length:
+            self.calibration_buffer[self.calibration_buffer_idx] = frame
+            self.calibration_buffer_idx += 1
+            return False
+
+        logger.info("Finished capturing calibration frames. "
+                    "Beginning calibration...")
+        self.detect_fps()
+        self.peak_minimum_sample_distance = int(
+            np.floor(self.fps / self.config.calibration.freq_max))
+
+        self.benchmarker.tick_start("Calibration Measurement")
+        result = evm.locate(
+            jnp.asarray(self.calibration_buffer, self.compute_dtype),
+            float(self.fps), self.config.calibration)
+        jax.block_until_ready(result.found)
+        self.benchmarker.tick_end("Calibration Measurement")
+
+        if not bool(result.found):
+            logger.info("Failed finding ROI during calibration. Retrying...")
+            self.calibration_buffer_idx = 0
+            return True  # reference `continue`s past UI/sync (base.py:454)
+
+        self.x, self.y = int(result.x), int(result.y)
+        self.w, self.h = int(result.w), int(result.h)
+        self.x, self.y, self.w, self.h = reduce_bounding_box(
+            self.x, self.y, self.w, self.h,
+            self.config.calibration.maximum_bounding_box_area)
+
+        if self.config.save_calibration_image:
+            self._save_calibration_image(result)
+
+        logger.info("Finished calibration.")
+        logger.info("Beginning measuring...")
+        self._setup_measurement()
+        self.state = "measure"
+        return False
+
+    def _setup_measurement(self):
+        self._measure_spec = motion.MeasureSpec.for_roi(
+            self.config, self.height, self.width, self.w, self.h,
+            float(self.fps))
+        self._measure_state = motion.init_state(
+            self._measure_spec, (self.x, self.y, self.w, self.h),
+            dtype=self.compute_dtype)
+        self._lowpass = filters.design_butter_lowpass(
+            self.config.calibration.freq_max * 0.5, float(self.fps),
+            self.config.measure.filter_order)
+
+    def _measure_frame(self, frame):
+        if self.config.save_all_data and self._recorder is None:
+            self._recorder = SessionRecorder(self.capture_target, self.fps,
+                                             (self.w, self.h))
+        self.benchmarker.tick_start("Measurement Loop")
+        spec = self._measure_spec
+
+        for b in self.buffers:
+            if len(b) >= self.config.measure.buffer_length:
+                b.popleft()
+
+        frame_dev = jnp.asarray(frame, self.compute_dtype)
+        new_state, sample = _measure_step_jit(self._measure_state, frame_dev,
+                                              spec)
+        self._measure_state = new_state
+        sample_val = float(sample)
+        self.data.append(sample_val)
+        self.t.append(0.0 if len(self.t) == 0
+                      else self.t[-1] + 1.0 / self.fps)
+
+        # Host mirrors for the UI / API surface.
+        self.cropped_image = np.asarray(
+            frame[self.y:self.y + self.h, self.x:self.x + self.w])
+        if self.config.motion_extraction_method == "flow":
+            pts = np.asarray(new_state.pts)[np.asarray(new_state.pts_valid)]
+            self.motion_key_points = pts.reshape(-1, 1, 2)
+
+        if self.config.save_all_data:
+            crop_u8 = np.clip(np.trunc(self.cropped_image * 255.0),
+                              0, 255).astype(np.uint8)
+            self._recorder.write(crop_u8, self.t[-1], sample_val)
+            self.all_data.append((self.t[-1], sample_val))
+
+        # First-flow-frame "no keypoints" trigger fires immediately
+        # (base.py:367-368), unlike NaN detection which waits for the
+        # initialization length (base.py:489-494).
+        if (bool(new_state.error) and not math.isnan(sample_val)
+                and len(self.data) == 1):
+            self.trigger_error("No motion key points found.")
+        elif len(self.data) > self.config.measure.initialization_length:
+            self._measure_bpm()
+            if not self.disable_error_detection and self.detect_errors():
+                self.trigger_error("error detection found poor signal")
+        self.benchmarker.tick_end("Measurement Loop")
+
+    def _measure_bpm(self):
+        n = self.config.measure.buffer_length
+        count = len(self.data)
+        data_arr = np.zeros(n, dtype=np.asarray(
+            self._measure_state.data).dtype)
+        t_arr = np.zeros_like(data_arr)
+        data_arr[n - count:] = np.asarray(self.data, dtype=data_arr.dtype)
+        t_arr[n - count:] = np.asarray(self.t, dtype=t_arr.dtype)
+
+        res = bpm_mod.estimate_bpm_jit(
+            jnp.asarray(data_arr), jnp.asarray(t_arr), jnp.asarray(count),
+            self._lowpass, max(self.peak_minimum_sample_distance, 1),
+            self.config.measure)
+
+        filt = np.asarray(res.filtered)[n - count:]
+        self.filtered_data = filt
+        acc = np.asarray(res.accept_mask)
+        idxs = np.asarray(res.cand_idx)[acc] - (n - count)
+        self.peak_indices = [int(i) for i in idxs]
+        self.peak_times = np.take(np.asarray(self.t), self.peak_indices) \
+            if self.peak_indices else np.array([])
+        if bool(res.has_bpm):
+            self.freq.append(float(res.bpm))
+
+    # ------------------------------------------------------------------
+    # UI (reference base.py:255-297)
+    # ------------------------------------------------------------------
+
+    def update_ui(self):
+        ui = self.ui
+        if self.state == "calibration":
+            if self.calibration_buffer_idx < \
+                    self.calibration_buffer_target_length:
+                ui.set_window_title(
+                    "Capturing calibration frames... {0}/{1}".format(
+                        self.calibration_buffer_idx,
+                        self.calibration_buffer_target_length))
+                self.display_frame = self.current_frame
+                ui.set_image(self.display_frame)
+            else:
+                ui.set_window_title("Measuring...")
+        elif self.state == "measure":
+            if self.cropped_image is None:
+                ui.set_plot_autoscale(True)
+                return
+            self.display_frame = np.clip(
+                np.trunc(self.cropped_image * 255.0), 0, 255) \
+                .astype(np.uint8)
+            dots = ".".join(["" for _ in
+                             range(0, len(self.filtered_data) % 4)])
+            if len(self.peak_times) > 0:
+                ui.set_peaks(self.peak_times,
+                             np.take(self.filtered_data, self.peak_indices))
+            ui.set_window_title("Measuring." + dots)
+            if len(self.filtered_data) >= 2 and len(self.t) >= 2:
+                ui.set_plot_x_range(min(self.t), max(self.t))
+                ui.set_raw_signal(list(self.t), list(self.filtered_data))
+            ui.set_image(self.display_frame)
+            if len(self.freq) >= 2 and len(self.t) >= 2:
+                ui.set_frequency(
+                    np.asarray(self.t)[-len(self.freq):], list(self.freq))
+                ui.set_bpm_text("{0:#.4} BPM".format(self.freq[-1]))
+        elif self.state == "error":
+            ui.set_bpm_text("??? BPM")
+            ui.set_window_title(
+                "Error: Recalibrating due to poor signal in {0}s.".format(
+                    self.config.error_reset_delay
+                    - (time.time() - self.reset_start_time)))
+        ui.process_events()
+
+    def _save_calibration_image(self, result: evm.LocateResult):
+        """Write the 2x3 montage PNG (reference base.py:577-596)."""
+        try:
+            import cv2
+        except ImportError:  # pragma: no cover
+            logger.warning("cv2 unavailable; skipping calibration image")
+            return
+        import os
+
+        logger.info("Creating calibration image.")
+        total_avg = np.clip(
+            np.trunc(self.calibration_buffer.mean(axis=0) * 255.0),
+            0, 255).astype(np.uint8)
+        heat = np.asarray(result.heatmap_u8)
+        raw_heat = np.asarray(result.raw_heat_u8)
+        thresh = np.asarray(result.thresh)
+
+        contours_found = cv2.findContours(thresh.copy(), cv2.RETR_EXTERNAL,
+                                          cv2.CHAIN_APPROX_SIMPLE)
+        contours = contours_found[0] if len(contours_found) == 2 \
+            else contours_found[1]
+        contour_img = total_avg.copy()
+        cv2.drawContours(contour_img, contours, -1, (0, 255, 0), 3)
+        drawn = cv2.rectangle(total_avg + heat, (self.x, self.y),
+                              (self.x + self.w, self.y + self.h), 255, 2)
+
+        row0 = np.hstack((total_avg, raw_heat, heat))
+        row1 = np.hstack((thresh, contour_img, drawn))
+        montage = np.vstack((row0, row1))
+        i = 0
+        while os.path.exists("calibration%s.png" % i):
+            i += 1
+        cv2.imwrite("calibration%s.png" % i, montage)
+        logger.info("Calibration image saved.")

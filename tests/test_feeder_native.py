@@ -1,0 +1,109 @@
+"""Host feeder / native ring tests — the bounded-queue handoff the TPU
+design introduces (SURVEY.md §5 'race detection' note) plus native-kernel
+parity."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from respmon_tpu.io.capture import ArrayCapture
+from respmon_tpu.io.native import FrameRing, bgr_to_gray_f32, load_native
+from respmon_tpu.runtime.feeder import FrameFeeder
+
+
+def test_native_library_builds():
+    # The toolchain is present in CI; the framework still works without it
+    # (numpy fallback), but here we assert the native path exists.
+    lib = load_native()
+    assert lib is not None, "native library failed to build/load"
+
+
+def test_bgr_to_gray_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    bgr = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    got = bgr_to_gray_f32(bgr)
+    want = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY).astype(np.float32) / 255.0
+    np.testing.assert_allclose(got, want, atol=1.01 / 255.0)
+
+
+def test_ring_fifo_and_latest():
+    ring = FrameRing(4, (2, 2))
+    for i in range(3):
+        ring.push(np.full((2, 2), float(i)))
+    f, seq = ring.pop()
+    assert seq == 0 and f[0, 0] == 0.0
+    f, seq = ring.pop_latest()
+    assert seq == 2 and f[0, 0] == 2.0
+    assert len(ring) == 0
+    f, seq = ring.pop()
+    assert f is None and seq == -1
+
+
+def test_ring_drop_oldest_when_full():
+    ring = FrameRing(2, (1,))
+    for i in range(5):
+        ring.push(np.asarray([float(i)]))
+    f, seq = ring.pop()
+    assert seq == 3 and f[0] == 3.0
+    f, seq = ring.pop()
+    assert seq == 4 and f[0] == 4.0
+
+
+def test_ring_concurrent_producer_consumer():
+    # SPSC stress: every consumed frame's content must match its sequence
+    # stamp (no torn frames), sequences strictly increase.
+    ring = FrameRing(8, (64,))
+    n = 3000
+    errors = []
+    consumed = []
+
+    def producer():
+        for i in range(n):
+            ring.push(np.full(64, float(i), np.float32))
+
+    def consumer():
+        last = -1
+        idle = 0
+        while idle < 2000:
+            f, seq = ring.pop()
+            if f is None:
+                idle += 1
+                time.sleep(0.0001)
+                continue
+            idle = 0
+            if not np.all(f == float(seq)):
+                errors.append(("torn", seq))
+            if seq <= last:
+                errors.append(("order", seq, last))
+            last = seq
+            consumed.append(seq)
+
+    tp = threading.Thread(target=producer)
+    tc = threading.Thread(target=consumer)
+    tc.start()
+    tp.start()
+    tp.join()
+    tc.join()
+    assert not errors, errors[:5]
+    assert len(consumed) > 0
+    assert consumed[-1] == n - 1  # the final frame always arrives
+
+
+def test_feeder_end_to_end():
+    frames = np.stack([np.full((4, 6), float(i), np.float32)
+                       for i in range(20)])
+    feeder = FrameFeeder(ArrayCapture(frames, fps=1000.0)).start()
+    seen = []
+    while True:
+        f, seq = feeder.next_frame(latest=False, timeout=2.0)
+        if f is None:
+            break
+        assert np.all(f == f[0, 0])
+        seen.append(int(f[0, 0]))
+    feeder.stop()
+    assert seen, "no frames delivered"
+    assert seen == sorted(seen)
+    assert seen[-1] == 19

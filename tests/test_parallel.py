@@ -1,0 +1,109 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+stream-axis data parallelism and width-sharded halo-exchange pyramids."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from respmon_tpu.config import CalibrationConfig, MonitorConfig
+from respmon_tpu.io.synthetic import breathing_clip
+from respmon_tpu.ops.pyramid import pyr_down
+from respmon_tpu.parallel import streams as streams_mod
+from respmon_tpu.parallel.mesh import make_mesh
+from respmon_tpu.parallel.spatial import pyr_down_w_sharded
+
+FPS = 10.0
+SMALL_CFG = MonitorConfig(
+    calibration=CalibrationConfig(buffer_length=32, pyramid_levels=4,
+                                  skip_levels_at_top=1))
+
+
+def _stream_clips(s, t, seed0=0, bpms=None):
+    bpms = bpms or [18.0] * s
+    # Strong, low-noise patches: a 32-frame calibration buffer holds only
+    # ~1 breathing cycle, so weak signals make EVM localization fragile
+    # (in the reference just as much as here).
+    return np.stack([
+        breathing_clip(num_frames=t, height=60, width=80, fps=FPS,
+                       bpm=bpms[i], patch_center=(30, 40),
+                       patch_size=(16, 20), amplitude=0.25, noise=0.002,
+                       seed=seed0 + i)
+        for i in range(s)])
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_pyr_down_w_sharded_matches_single_device():
+    mesh = make_mesh(axis_names=("space",))
+    rng = np.random.default_rng(0)
+    x = rng.random((48, 64)).astype(np.float32)
+    got = np.asarray(pyr_down_w_sharded(jnp.asarray(x), mesh, axis="space"))
+    want = np.asarray(pyr_down(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_locate_streams_sharded_matches_per_stream():
+    from respmon_tpu.pipeline import evm
+
+    mesh = make_mesh(axis_names=("streams",))
+    clips = _stream_clips(8, 32)
+    dev = streams_mod.shard_streams(jnp.asarray(clips), mesh)
+    res = streams_mod.locate_streams(dev, FPS, SMALL_CFG.calibration)
+    assert bool(np.asarray(res.found).all())
+    for i in range(8):
+        single = evm.locate(jnp.asarray(clips[i]), FPS,
+                            SMALL_CFG.calibration)
+        np.testing.assert_array_equal(
+            np.asarray(res.boxes[i]),
+            [int(single.x), int(single.y), int(single.w), int(single.h)])
+
+
+def test_multistream_monitor_end_to_end():
+    mesh = make_mesh(axis_names=("streams",))
+    bpms = [15.0, 18.0, 21.0, 24.0] * 2
+    total = 32 + 90
+    clips = _stream_clips(8, total, bpms=bpms)
+
+    mon = streams_mod.MultiStreamMonitor(SMALL_CFG, mesh, (60, 80), FPS)
+    loc = mon.calibrate(clips[:, :32])
+    assert bool(np.asarray(loc.found).all())
+
+    last_bpm = np.full(8, np.nan)
+    for f in range(33, total):
+        res = mon.step(clips[:, f])
+        has = np.asarray(res.has_bpm)
+        bpm = np.asarray(res.bpm)
+        last_bpm[has] = bpm[has]
+
+    assert np.isfinite(last_bpm).all(), f"streams without BPM: {last_bpm}"
+    np.testing.assert_allclose(last_bpm, bpms, atol=1.0)
+
+
+def test_stream_axis_sharding_is_collective_free():
+    # The shard_map stream step must contain no cross-device collectives
+    # (pure data parallelism, SURVEY.md §2.2) — in particular no
+    # per-iteration all-reduce from batched while_loop conditions, which
+    # GSPMD would insert.
+    from respmon_tpu.ops import filters
+    from respmon_tpu.pipeline import motion
+
+    mesh = make_mesh(axis_names=("streams",))
+    cfg = SMALL_CFG
+    spec = motion.MeasureSpec.for_roi(cfg, 60, 80, 20, 16, FPS)
+    rois = np.tile([30, 22, 20, 16], (8, 1))
+    states = streams_mod.init_stream_states(spec, rois)
+    states = streams_mod.shard_streams(states, mesh)
+    frames = streams_mod.shard_streams(
+        jnp.zeros((8, 60, 80), jnp.float32), mesh)
+    coeffs = filters.design_butter_lowpass(0.5, FPS, 3)
+
+    step = streams_mod.make_sharded_monitor_step(mesh, spec, coeffs, 10,
+                                                 cfg.measure)
+    hlo = step.lower(states, frames).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all"):
+        assert coll not in hlo, f"unexpected collective {coll} in HLO"
