@@ -38,6 +38,13 @@ def main():
     from respmon_tpu.ops import filters
 
     log(f"devices: {jax.devices()}")
+    # Warm up the device->host transfer path: on tunneled deployments the
+    # FIRST readback pays a one-time setup cost (~minutes); do it before
+    # any timed region.
+    t0 = time.time()
+    _ = float(jnp.asarray(1.0) + 1.0)
+    log(f"transfer warmup: {time.time()-t0:.1f}s")
+
     fps_video = 10.0
     cfg = MonitorConfig(motion_extraction_method="flow")
 

@@ -94,11 +94,21 @@ def temporal_bandpass_fft(vid: jnp.ndarray, fps: float, freq_min: float,
 
 def temporal_bandpass_iir(vid: jnp.ndarray, fps: float, freq_min: float,
                           freq_max: float, amplification: float,
-                          order: int = 6) -> jnp.ndarray:
+                          order: int = 6, sos: bool = True) -> jnp.ndarray:
     """The reference's IIR alternative (transforms.py:72-79): order-6
-    Butterworth bandpass via causal lfilter along T, then amplification."""
+    Butterworth bandpass along T, then amplification.
+
+    Defaults to a second-order-sections cascade: the transfer-function form
+    the reference uses is float64-only (it overflows to inf in float32 —
+    the narrowband poles sit at radius ~0.99), while SOS is stable in the
+    TPU's native single precision.  ``sos=False`` reproduces the reference's
+    exact (b, a) filtering for float64 parity tests."""
     from respmon_tpu.ops import filters
 
-    coeffs = filters.design_butter_bandpass(freq_min, freq_max, float(fps),
-                                            order=order)
-    return filters.lfilter(coeffs, vid) * amplification
+    if sos:
+        coeffs = filters.design_butter_bandpass_sos(
+            freq_min, freq_max, float(fps), order=order)
+        return filters.sosfilt(coeffs, vid) * amplification
+    ba = filters.design_butter_bandpass(freq_min, freq_max, float(fps),
+                                        order=order)
+    return filters.lfilter(ba, vid) * amplification

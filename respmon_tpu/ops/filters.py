@@ -71,6 +71,50 @@ def design_butter_bandpass(lowcut: float, highcut: float, fs: float,
                         zi=tuple(zi.tolist()))
 
 
+@dataclasses.dataclass(frozen=True)
+class SOSCoeffs:
+    """Second-order-sections cascade (hashable).  sections[i] is the scipy
+    layout (b0, b1, b2, a0, a1, a2) with a0 == 1."""
+
+    sections: Tuple[Tuple[float, ...], ...]
+
+
+def design_butter_bandpass_sos(lowcut: float, highcut: float, fs: float,
+                               order: int = 6) -> SOSCoeffs:
+    """Bandpass design as second-order sections.  A transfer-function
+    order-6 narrowband Butterworth (the reference's IIR alternative,
+    transforms.py:74) has poles at radius ~0.99 and diverges to inf in
+    float32; the SOS cascade is stable in single precision — the required
+    form for the TPU compute path."""
+    from scipy.signal import butter
+
+    nyq = 0.5 * fs
+    sos = butter(order, [lowcut / nyq, highcut / nyq], btype="band",
+                 output="sos")
+    return SOSCoeffs(sections=tuple(tuple(row.tolist()) for row in sos))
+
+
+def sosfilt(coeffs: SOSCoeffs, x: jnp.ndarray) -> jnp.ndarray:
+    """Causal SOS filtering along axis 0 (scipy.signal.sosfilt parity),
+    as a cascade of biquad ``lax.scan`` recurrences."""
+    dtype = x.dtype
+    trailing = x.shape[1:]
+    y = x
+    for section in coeffs.sections:
+        b0, b1, b2, _, a1, a2 = (jnp.asarray(v, dtype) for v in section)
+
+        def step(d, xn, b0=b0, b1=b1, b2=b2, a1=a1, a2=a2):
+            d1, d2 = d
+            yn = b0 * xn + d1
+            d1_new = b1 * xn + d2 - a1 * yn
+            d2_new = b2 * xn - a2 * yn
+            return (d1_new, d2_new), yn
+
+        zeros = jnp.zeros(trailing, dtype=dtype)
+        _, y = jax.lax.scan(step, (zeros, zeros), y)
+    return y
+
+
 def lfilter(coeffs: FilterCoeffs, x: jnp.ndarray,
             zi: jnp.ndarray | None = None) -> jnp.ndarray:
     """Causal IIR along the leading axis via ``lax.scan`` (direct form II

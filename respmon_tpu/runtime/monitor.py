@@ -78,6 +78,9 @@ class RespiratoryMonitor:
             compute_dtype=cfg.compute_dtype, roi_bucket=cfg.roi_bucket)
         self.config = cfg.validate()
         self.benchmarker = Benchmarker()
+        for tag in ("Measurement Loop", "Frame Capture",
+                    "Calibration Measurement"):
+            self.benchmarker.add_tag(tag)
         self.sync_fps_enabled = sync_fps
         self.compute_dtype = compute_dtype
 
@@ -151,10 +154,6 @@ class RespiratoryMonitor:
 
     def run(self):
         """Process frames until the stream ends (reference base.py:409-513)."""
-        for tag in ("Measurement Loop", "Frame Capture",
-                    "Calibration Measurement"):
-            if not self.benchmarker.has_tag(tag):
-                self.benchmarker.add_tag(tag)
         while self.cap.is_open():
             if not self.step():
                 break

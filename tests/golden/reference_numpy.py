@@ -81,6 +81,57 @@ def peakutils_gaussian_fit(x, y, center_only=True):
     return params[1] if center_only else params
 
 
+def detect_peaks_oracle(x, mph=None, mpd=1, threshold=0.0, edge="rising",
+                        valley=False):
+    """Oracle for the vendored Marcos Duarte detect_peaks
+    (reference prototypes/detect_peaks.py semantics)."""
+    x = np.atleast_1d(x).astype("float64")
+    if x.size < 3:
+        return np.array([], dtype=int)
+    if valley:
+        x = -x
+    dx = x[1:] - x[:-1]
+    indnan = np.where(np.isnan(x))[0]
+    if indnan.size:
+        x[indnan] = np.inf
+        dx[np.where(np.isnan(dx))[0]] = np.inf
+    ine, ire, ife = np.array([[], [], []], dtype=int)
+    if not edge:
+        ine = np.where((np.hstack((dx, 0)) < 0)
+                       & (np.hstack((0, dx)) > 0))[0]
+    else:
+        if edge.lower() in ("rising", "both"):
+            ire = np.where((np.hstack((dx, 0)) <= 0)
+                           & (np.hstack((0, dx)) > 0))[0]
+        if edge.lower() in ("falling", "both"):
+            ife = np.where((np.hstack((dx, 0)) < 0)
+                           & (np.hstack((0, dx)) >= 0))[0]
+    ind = np.unique(np.hstack((ine, ire, ife)))
+    if ind.size and indnan.size:
+        ind = ind[np.in1d(ind, np.unique(np.hstack(
+            (indnan, indnan - 1, indnan + 1))), invert=True)]
+    if ind.size and ind[0] == 0:
+        ind = ind[1:]
+    if ind.size and ind[-1] == x.size - 1:
+        ind = ind[:-1]
+    if ind.size and mph is not None:
+        ind = ind[x[ind] > mph]
+    if ind.size and threshold > 0:
+        dx2 = np.min(np.vstack([x[ind] - x[ind - 1],
+                                x[ind] - x[ind + 1]]), axis=0)
+        ind = np.delete(ind, np.where(dx2 < threshold)[0])
+    if ind.size and mpd > 1:
+        ind = ind[np.argsort(x[ind])][::-1]
+        idel = np.zeros(ind.size, dtype=bool)
+        for i in range(ind.size):
+            if not idel[i]:
+                idel = idel | ((ind >= ind[i] - mpd)
+                               & (ind <= ind[i] + mpd))
+                idel[i] = False
+        ind = np.sort(ind[~idel])
+    return ind
+
+
 # ---------------------------------------------------------------------------
 # Signal-stage oracle (reference base.py:312-352)
 # ---------------------------------------------------------------------------

@@ -66,7 +66,8 @@ def test_float32_device_dtype_tolerance():
 
 
 def test_iir_variant_matches_reference_chain():
-    # transforms.py:72-79: order-6 butter bandpass lfilter x amplification.
+    # transforms.py:72-79: order-6 butter bandpass lfilter x amplification
+    # (transfer-function form, float64 parity path).
     import scipy.signal as sps
 
     rng = np.random.default_rng(3)
@@ -74,6 +75,27 @@ def test_iir_variant_matches_reference_chain():
     b, a = sps.butter(6, [0.1 / 5.0, 1.0 / 5.0], btype="band")
     want = sps.lfilter(b, a, data, axis=0) * 50.0
     got = np.asarray(fft_bandpass.temporal_bandpass_iir(
-        jnp.asarray(data), 10.0, 0.1, 1.0, 50.0))
+        jnp.asarray(data), 10.0, 0.1, 1.0, 50.0, sos=False))
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-3 * scale)
+
+
+def test_iir_sos_matches_scipy_and_survives_float32():
+    import scipy.signal as sps
+
+    rng = np.random.default_rng(4)
+    data = rng.random((256, 4))
+    sos = sps.butter(6, [0.1 / 5.0, 1.0 / 5.0], btype="band", output="sos")
+    want = sps.sosfilt(sos, data, axis=0) * 50.0
+    got = np.asarray(fft_bandpass.temporal_bandpass_iir(
+        jnp.asarray(data), 10.0, 0.1, 1.0, 50.0, sos=True))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+    # float32: the TF form overflows to inf here; SOS must stay finite and
+    # close to the float64 result.
+    got32 = np.asarray(fft_bandpass.temporal_bandpass_iir(
+        jnp.asarray(data.astype(np.float32)), 10.0, 0.1, 1.0, 50.0,
+        sos=True))
+    assert np.isfinite(got32).all()
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got32, want, rtol=0, atol=1e-3 * scale)

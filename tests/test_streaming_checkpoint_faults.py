@@ -1,0 +1,182 @@
+"""Tests: detect_peaks alternative, streaming calibrator, checkpoint/resume,
+fault injection (SURVEY.md §2.0b prototypes + §5 aux subsystems)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from respmon_tpu.config import CalibrationConfig, MonitorConfig
+from respmon_tpu.io.capture import ArrayCapture
+from respmon_tpu.io.faults import FaultInjector, FaultSchedule
+from respmon_tpu.io.synthetic import breathing_clip
+from respmon_tpu.ops.detect_peaks import detect_peaks
+from respmon_tpu.pipeline import evm, streaming
+from respmon_tpu.runtime import RespiratoryMonitor
+from respmon_tpu.runtime import checkpoint
+from tests.golden import reference_numpy as golden
+
+FPS = 10.0
+
+
+# ---------------------------------------------------------------------------
+# detect_peaks (prototypes/detect_peaks.py alternative detector)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("mpd,edge", [(1, "rising"), (5, "rising"),
+                                      (3, None), (4, "both")])
+def test_detect_peaks_matches_oracle(seed, mpd, edge):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(96)
+    want = golden.detect_peaks_oracle(x, mpd=mpd, edge=edge)
+    idx, mask = detect_peaks(jnp.asarray(x), mpd=mpd, edge=edge)
+    got = np.asarray(idx)[np.asarray(mask)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_detect_peaks_mph_threshold_valley():
+    rng = np.random.default_rng(9)
+    x = np.cumsum(rng.standard_normal(80))
+    for kw in ({"mph": 0.5}, {"threshold": 0.2}, {"valley": True}):
+        want = golden.detect_peaks_oracle(x, **kw)
+        idx, mask = detect_peaks(jnp.asarray(x), **kw)
+        got = np.asarray(idx)[np.asarray(mask)]
+        np.testing.assert_array_equal(got, want, err_msg=str(kw))
+
+
+def test_detect_peaks_nan_handling():
+    x = np.array([0., 1., 0., np.nan, 0., 2., 0., 1., 0.])
+    want = golden.detect_peaks_oracle(x)
+    idx, mask = detect_peaks(jnp.asarray(x))
+    got = np.asarray(idx)[np.asarray(mask)]
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Streaming calibrator (prototypes/locating.py:94-147 successor)
+# ---------------------------------------------------------------------------
+
+def test_streaming_matches_batch_locate_on_static_scene():
+    cfg = CalibrationConfig(buffer_length=32, pyramid_levels=4,
+                            skip_levels_at_top=1)
+    clip = breathing_clip(num_frames=32, height=60, width=80, fps=FPS,
+                          bpm=18.0, patch_center=(30, 40),
+                          patch_size=(16, 20), amplitude=0.25, noise=0.002)
+    state = streaming.init_streaming_state(60, 80, cfg)
+    for i in range(32):
+        state, res = streaming.streaming_update(
+            state, jnp.asarray(clip[i]), FPS, cfg)
+        if i < 31:
+            assert not bool(res.ready)
+    assert bool(res.ready) and bool(res.found)
+    batch = evm.locate(jnp.asarray(clip), FPS, cfg)
+    assert (int(res.x), int(res.y), int(res.w), int(res.h)) == \
+        (int(batch.x), int(batch.y), int(batch.w), int(batch.h))
+
+
+def test_streaming_tracks_roi_continuously():
+    # After the window fills, every subsequent frame yields a localization —
+    # the capability the batch path lacks.
+    cfg = CalibrationConfig(buffer_length=16, pyramid_levels=4,
+                            skip_levels_at_top=1)
+    clip = breathing_clip(num_frames=40, height=60, width=80, fps=FPS,
+                          bpm=24.0, patch_center=(30, 40),
+                          patch_size=(16, 20), amplitude=0.25, noise=0.002)
+    state = streaming.init_streaming_state(60, 80, cfg)
+    found = 0
+    for i in range(40):
+        state, res = streaming.streaming_update(
+            state, jnp.asarray(clip[i]), FPS, cfg)
+        found += int(bool(res.found))
+    assert found >= 20
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_resume_continues_measurement(tmp_path):
+    cal = CalibrationConfig(buffer_length=64, pyramid_levels=6,
+                            skip_levels_at_top=2)
+    clip = breathing_clip(num_frames=64 + 1 + 80, height=120, width=160,
+                          fps=FPS, bpm=18.0, patch_center=(60, 80),
+                          patch_size=(30, 40), amplitude=0.12)
+
+    def make(frames):
+        return RespiratoryMonitor(
+            capture_target="ckpt", save_all_data=False, visualize=None,
+            motion_extraction_method="average",
+            config=MonitorConfig(calibration=cal),
+            capture=ArrayCapture(frames, fps=FPS), auto_run=False,
+            sync_fps=False)
+
+    split = 64 + 1 + 40
+    m1 = make(clip[:split])
+    m1.run()
+    assert m1.state == "measure"
+    path = str(tmp_path / "state.npz")
+    checkpoint.save_checkpoint(path, m1)
+
+    m2 = make(clip[split:])
+    checkpoint.load_checkpoint(path, m2)
+    assert m2.state == "measure"
+    assert (m2.x, m2.y, m2.w, m2.h) == (m1.x, m1.y, m1.w, m1.h)
+    assert checkpoint.checkpoint_roundtrip_equal(m1._measure_state,
+                                                 m2._measure_state)
+    m2.run()
+    assert len(m2.freq) > 0
+    assert abs(m2.freq[-1] - 18.0) <= 0.5
+
+
+# ---------------------------------------------------------------------------
+# Fault injection exercising the error state machine
+# ---------------------------------------------------------------------------
+
+def test_blackout_fault_triggers_error_and_recovery():
+    cal = CalibrationConfig(buffer_length=64, pyramid_levels=6,
+                            skip_levels_at_top=2)
+    good = breathing_clip(num_frames=64 + 1 + 200, height=120, width=160,
+                          fps=FPS, bpm=18.0, patch_center=(60, 80),
+                          patch_size=(30, 40), amplitude=0.12,
+                          motion_px=2.0)
+    src = FaultInjector(
+        ArrayCapture(good, fps=FPS),
+        [FaultSchedule("blackout", start=64 + 1 + 30, end=64 + 1 + 45)])
+    mon = RespiratoryMonitor(
+        capture_target="fault", save_all_data=False, visualize=None,
+        motion_extraction_method="flow",
+        config=MonitorConfig(calibration=cal), capture=src, auto_run=False,
+        sync_fps=False, error_reset_delay=0.0)
+    states = set()
+    while mon.cap.is_open():
+        if not mon.step():
+            break
+        states.add(mon.state)
+    assert "error" in states, "blackout never triggered the error state"
+    assert mon.error_message is not None
+    # The machine recovered: it recalibrated (and ideally measured again).
+    assert "measure" in states
+    assert mon.state in ("calibration", "measure")
+
+
+def test_nan_fault_passthrough_average_mode_no_error():
+    # In average mode the reference's detect_errors identity-check never
+    # fires (SURVEY.md §5) — NaN frames must not crash nor error the
+    # monitor.
+    cal = CalibrationConfig(buffer_length=64, pyramid_levels=6,
+                            skip_levels_at_top=2)
+    good = breathing_clip(num_frames=64 + 1 + 40, height=120, width=160,
+                          fps=FPS, bpm=18.0, patch_center=(60, 80),
+                          patch_size=(30, 40), amplitude=0.12)
+    src = FaultInjector(
+        ArrayCapture(good, fps=FPS),
+        [FaultSchedule("nan", start=64 + 1 + 10, end=64 + 1 + 12)])
+    mon = RespiratoryMonitor(
+        capture_target="nanfault", save_all_data=False, visualize=None,
+        motion_extraction_method="average",
+        config=MonitorConfig(calibration=cal), capture=src, auto_run=False,
+        sync_fps=False)
+    mon.run()
+    assert mon.state == "measure"
+    assert mon.error_message is None
