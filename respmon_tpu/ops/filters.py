@@ -146,6 +146,43 @@ def lfilter(coeffs: FilterCoeffs, x: jnp.ndarray,
     return y
 
 
+def lfilter_assoc(coeffs: FilterCoeffs, x: jnp.ndarray,
+                  zi: jnp.ndarray | None = None) -> jnp.ndarray:
+    """``lfilter`` via parallel prefix (``lax.associative_scan``).
+
+    The DF2T recurrence is affine: d_{k+1} = A d_k + c x_k with constant A
+    (companion form) and y_k = b0 x_k + d_k[0].  Composing affine maps is
+    associative, so the state sequence computes in O(log T) parallel levels
+    of small (order x order) matmuls instead of T sequential steps — the
+    idiomatic TPU formulation for IIR chains (identical math, regrouped
+    rounding).  1-D input only; batch via vmap.
+    """
+    dtype = x.dtype
+    p = coeffs.order
+    n = x.shape[0]
+    b = jnp.asarray(coeffs.b, dtype)
+    a = jnp.asarray(coeffs.a, dtype)
+
+    # Companion transition: d_new[i] = -a[i+1] d[0] + d[i+1] + c[i] x.
+    A = jnp.zeros((p, p), dtype).at[:, 0].set(-a[1:])
+    A = A.at[jnp.arange(p - 1), jnp.arange(1, p)].set(1.0)
+    c = b[1:] - a[1:] * b[0]
+
+    v = c[None, :] * x[:, None]                     # (T, p)
+    M = jnp.broadcast_to(A, (n, p, p))
+
+    def combine(e1, e2):
+        m1, v1 = e1
+        m2, v2 = e2
+        return m2 @ m1, jnp.einsum("...ij,...j->...i", m2, v1) + v2
+
+    prefM, prefV = jax.lax.associative_scan(combine, (M, v))
+    d0 = jnp.zeros((p,), dtype) if zi is None else zi.astype(dtype)
+    d_incl = jnp.einsum("tij,j->ti", prefM, d0) + prefV
+    d_at = jnp.concatenate([d0[None], d_incl[:-1]], axis=0)
+    return b[0] * x + d_at[:, 0]
+
+
 def _odd_ext_masked(x_padded: jnp.ndarray, count: jnp.ndarray,
                     padlen: int) -> jnp.ndarray:
     """Build scipy-filtfilt's odd extension for a right-aligned masked signal.
@@ -188,9 +225,10 @@ def _odd_ext_masked(x_padded: jnp.ndarray, count: jnp.ndarray,
     return ext
 
 
-@partial(jax.jit, static_argnames=("coeffs",))
+@partial(jax.jit, static_argnames=("coeffs", "associative"))
 def filtfilt_masked(coeffs: FilterCoeffs, x_padded: jnp.ndarray,
-                    count: jnp.ndarray) -> jnp.ndarray:
+                    count: jnp.ndarray,
+                    associative: bool = True) -> jnp.ndarray:
     """Zero-phase forward-backward IIR matching ``scipy.signal.filtfilt``
     (method='pad', padtype='odd', default padlen) on a right-aligned masked
     signal (reference transforms.py:66-69 / base.py:342).
@@ -205,13 +243,14 @@ def filtfilt_masked(coeffs: FilterCoeffs, x_padded: jnp.ndarray,
     count = jnp.asarray(count)
     ext = _odd_ext_masked(x_padded, count, p)
     zi = jnp.asarray(coeffs.zi, dtype=x_padded.dtype)
+    iir = lfilter_assoc if associative else lfilter
 
     # Forward pass: init state zi * ext[0]; constant prefix is steady-state.
-    y1 = lfilter(coeffs, ext, zi=zi * ext[0])
+    y1 = iir(coeffs, ext, zi=zi * ext[0])
     # Backward pass over the reversed signal; its first element is the last
     # real extension value (the back extension ends at the buffer tail).
     y1r = y1[::-1]
-    y2r = lfilter(coeffs, y1r, zi=zi * y1r[0])
+    y2r = iir(coeffs, y1r, zi=zi * y1r[0])
     y2 = y2r[::-1]
     # Strip padlen from both ends of the real extension; as a right-aligned
     # (N,) window this is the static slice [p : p + N] of the (N + 2p) array.

@@ -19,12 +19,16 @@ next, pts, None, winSize=(15,15), maxLevel=2, criteria=(EPS|COUNT, 10, 0.03))``
     below ``minEigThreshold=1e-4`` (cv2 units: gradients are Scharr x32 and
     accumulators scaled 2^-20, i.e. true-gradient G / 1024, then / winArea).
 
-TPU-native design: fixed-iteration ``fori_loop`` per level with masked
-convergence flags, vmapped over a fixed-size masked point set; all gathers are
-flat ``jnp.take`` of static-shape window index grids.  Images are expected on
-the uint8 [0,255] value scale (the reference converts crops with
-float_to_uint8 before LK, base.py:364-371), which the minEig threshold
-depends on.
+TPU-native design: windows are never gathered pixel-by-pixel.  Each level's
+padded images are expanded ONCE into an im2col patch matrix (R, win*win)
+(``conv_general_dilated_patches``); a bilinear window at any float position
+is then a weighted sum of FOUR CONTIGUOUS ROWS of that matrix — a flat
+``jnp.take`` row gather, the layout TPUs gather fast — and the per-iteration
+update is pure batched VPU arithmetic over the (points, win*win) block.  The
+Newton iterations run as one ``fori_loop`` over the whole point set with
+masked convergence (no per-point control flow).  Images are expected on the
+uint8 [0,255] value scale (the reference converts crops with float_to_uint8
+before LK, base.py:364-371), which the minEig threshold depends on.
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from respmon_tpu.ops.pyramid import pyr_down
+from respmon_tpu.ops.pyramid import _reflect101_indices, pyr_down
 
 
 class FlowResult(NamedTuple):
@@ -67,71 +71,108 @@ def _scharr_derivs(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return dx, dy
 
 
-def _bilinear_window(img: jnp.ndarray, base_y, base_x, fy, fx, win: int,
-                     border: str) -> jnp.ndarray:
-    """Gather a (win x win) bilinear-interpolated window whose top-left
-    integer corner is (base_y, base_x) with fractional offsets (fy, fx).
-
-    border: 'reflect101' for image samples, 'zero' for derivative samples.
-    """
-    h, w = img.shape
-    oy = jnp.arange(win + 1)
-    ox = jnp.arange(win + 1)
-    ys = base_y + oy                       # (win+1,)
-    xs = base_x + ox
-
+def _pad_for_windows(img: jnp.ndarray, win: int, border: str) -> jnp.ndarray:
+    """Pre-pad so any window with integer base in [-win-1, dim-1] is in
+    bounds.  border: 'reflect101' (cv2 image pyramids) or 'zero' (cv2
+    derivative padding)."""
+    pad = win + 2
     if border == "reflect101":
-        def r101(i, n):
-            if n == 1:
-                return jnp.zeros_like(i)
-            period = 2 * (n - 1)
-            m = jnp.mod(i, period)
-            return jnp.where(m < n, m, period - m)
-        ysm = r101(ys, h)
-        xsm = r101(xs, w)
-        grid = img[ysm[:, None], xsm[None, :]]
-    else:
-        ysc = jnp.clip(ys, 0, h - 1)
-        xsc = jnp.clip(xs, 0, w - 1)
-        inside = ((ys >= 0) & (ys < h))[:, None] & \
-                 ((xs >= 0) & (xs < w))[None, :]
-        grid = jnp.where(inside, img[ysc[:, None], xsc[None, :]], 0.0)
-
-    w00 = (1.0 - fy) * (1.0 - fx)
-    w01 = (1.0 - fy) * fx
-    w10 = fy * (1.0 - fx)
-    w11 = fy * fx
-    return (grid[:-1, :-1] * w00 + grid[:-1, 1:] * w01 +
-            grid[1:, :-1] * w10 + grid[1:, 1:] * w11)
+        ry = jnp.asarray(_reflect101_indices(img.shape[0], pad))
+        rx = jnp.asarray(_reflect101_indices(img.shape[1], pad))
+        return img[ry][:, rx]
+    return jnp.pad(img, pad)
 
 
-def _track_point_level(prev_img, next_img, dxm, dym, prev_pt, next_pt,
-                       status, level, win, max_iters, eps2, min_eig_thresh):
-    """One pyramid level of LK for a single point."""
-    h, w = prev_img.shape
+class _LevelPatches(NamedTuple):
+    """Per-level sampling structures.
+
+    Only the *next* image is re-sampled inside the Newton loop, so only it
+    gets the im2col patch matrix; prev/dx/dy windows are sampled once per
+    level via padded dynamic slices (cheaper than building three more patch
+    matrices)."""
+
+    prev_stack: jnp.ndarray  # (3, Hp, Wp): padded image, dx, dy stacked so
+                             # one slice per point fetches all three windows
+    next: jnp.ndarray        # (R, win*win) patch matrix
+    wprime: int              # patch-grid width (static)
+    hw: Tuple[int, int]      # unpadded level shape (static)
+
+
+def _patch_matrix(img_pad: jnp.ndarray, win: int) -> Tuple[jnp.ndarray, int]:
+    """All win x win patches of a padded image as rows: (R, win*win).
+
+    ``conv_general_dilated_patches`` rides the MXU's conv path; a
+    slice-and-stack formulation measures ~18x slower on TPU (225 strided
+    copies with hostile layouts), so the conv extraction wins despite its
+    nominal MAC overhead."""
+    p = jax.lax.conv_general_dilated_patches(
+        img_pad[None, None], filter_shape=(win, win),
+        window_strides=(1, 1), padding="VALID")
+    _, c, hp, wp = p.shape
+    return p[0].reshape(c, hp * wp).T, wp
+
+
+def _window_slices3(stack: jnp.ndarray, pad: int, by, bx, fy, fx,
+                    win: int):
+    """Three (N, win*win) bilinear windows (image, dx, dy) via ONE vmapped
+    contiguous dynamic slice per point over the channel-stacked array."""
+
+    def one(by1, bx1, fy1, fx1):
+        grid = jax.lax.dynamic_slice(
+            stack, (0, by1 + pad, bx1 + pad), (3, win + 1, win + 1))
+        out = (grid[:, :-1, :-1] * (1 - fy1) * (1 - fx1)
+               + grid[:, :-1, 1:] * (1 - fy1) * fx1
+               + grid[:, 1:, :-1] * fy1 * (1 - fx1)
+               + grid[:, 1:, 1:] * fy1 * fx1)
+        return out.reshape(3, -1)
+
+    w3 = jax.vmap(one)(by, bx, fy, fx)        # (N, 3, win*win)
+    return w3[:, 0], w3[:, 1], w3[:, 2]
+
+
+def _window_rows(patches: jnp.ndarray, wprime: int, pad: int,
+                 by: jnp.ndarray, bx: jnp.ndarray, fy, fx) -> jnp.ndarray:
+    """Bilinear (N, win*win) windows: weighted sum of 4 patch rows per
+    point.  by/bx are integer window bases in unpadded coordinates."""
+    hlim = patches.shape[0] // wprime - 2
+    ry = jnp.clip(by + pad, 0, hlim)
+    rx = jnp.clip(bx + pad, 0, wprime - 2)
+    r = ry * wprime + rx
+    p00 = jnp.take(patches, r, axis=0)
+    p01 = jnp.take(patches, r + 1, axis=0)
+    p10 = jnp.take(patches, r + wprime, axis=0)
+    p11 = jnp.take(patches, r + wprime + 1, axis=0)
+    fy = fy[:, None]
+    fx = fx[:, None]
+    return (p00 * (1 - fy) * (1 - fx) + p01 * (1 - fy) * fx
+            + p10 * fy * (1 - fx) + p11 * fy * fx)
+
+
+def _track_level(lp: _LevelPatches, prev_pts, next_pts, status, level, win,
+                 max_iters, eps2, min_eig_thresh, dtype):
+    """One pyramid level for ALL points at once (batched Newton loop)."""
+    h, w = lp.hw
     half = (win - 1) * 0.5
-    dtype = prev_img.dtype
+    pad = win + 2
 
-    ip = jnp.floor(prev_pt - half)
-    fy = (prev_pt[1] - half) - ip[1]
-    fx = (prev_pt[0] - half) - ip[0]
-    by = ip[1].astype(jnp.int32)
-    bx = ip[0].astype(jnp.int32)
+    ip = jnp.floor(prev_pts - half)
+    fx = (prev_pts[:, 0] - half) - ip[:, 0]
+    fy = (prev_pts[:, 1] - half) - ip[:, 1]
+    bx = ip[:, 0].astype(jnp.int32)
+    by = ip[:, 1].astype(jnp.int32)
 
-    # cv2 bound check on the prev window (lost only if wildly outside).
     out_prev = (bx < -win) | (bx >= w) | (by < -win) | (by >= h)
 
-    iw = _bilinear_window(prev_img, by, bx, fy, fx, win, "reflect101")
-    ixw = _bilinear_window(dxm, by, bx, fy, fx, win, "zero")
-    iyw = _bilinear_window(dym, by, bx, fy, fx, win, "zero")
+    iw, ixw, iyw = _window_slices3(lp.prev_stack, pad, by, bx, fy, fx, win)
 
-    a11 = jnp.sum(ixw * ixw)
-    a12 = jnp.sum(ixw * iyw)
-    a22 = jnp.sum(iyw * iyw)
-    # cv2-scale checks: accumulators correspond to (32 g)^2 / 2^20 = g^2/1024.
+    a11 = jnp.sum(ixw * ixw, axis=1)
+    a12 = jnp.sum(ixw * iyw, axis=1)
+    a22 = jnp.sum(iyw * iyw, axis=1)
+    # cv2-scale checks: accumulators correspond to (32 g)^2 / 2^20.
     sa11, sa12, sa22 = a11 / 1024.0, a12 / 1024.0, a22 / 1024.0
     det_s = sa11 * sa22 - sa12 * sa12
-    min_eig = (sa22 + sa11 - jnp.sqrt((sa11 - sa22) ** 2 + 4.0 * sa12 ** 2)) \
+    min_eig = (sa22 + sa11
+               - jnp.sqrt((sa11 - sa22) ** 2 + 4.0 * sa12 ** 2)) \
         / (2.0 * win * win)
     bad_g = (min_eig < min_eig_thresh) | (det_s < 1.19209290e-07)
 
@@ -139,49 +180,45 @@ def _track_point_level(prev_img, next_img, dxm, dym, prev_pt, next_pt,
     inv_det = jnp.where(jnp.abs(det) > 0, 1.0 / det, 0.0)
 
     def iter_body(j, carry):
-        pt, prev_delta, done, lost = carry
-        jp = jnp.floor(pt - half)
-        jfy = (pt[1] - half) - jp[1]
-        jfx = (pt[0] - half) - jp[0]
-        jby = jp[1].astype(jnp.int32)
-        jbx = jp[0].astype(jnp.int32)
+        pts, prev_delta, done, lost = carry
+        jp = jnp.floor(pts - half)
+        jfx = (pts[:, 0] - half) - jp[:, 0]
+        jfy = (pts[:, 1] - half) - jp[:, 1]
+        jbx = jp[:, 0].astype(jnp.int32)
+        jby = jp[:, 1].astype(jnp.int32)
         out_next = (jbx < -win) | (jbx >= w) | (jby < -win) | (jby >= h)
 
-        jw = _bilinear_window(next_img, jby, jbx, jfy, jfx, win, "reflect101")
+        jw = _window_rows(lp.next, lp.wprime, pad, jby, jbx, jfy, jfx)
         diff = jw - iw
-        b1 = jnp.sum(diff * ixw)
-        b2 = jnp.sum(diff * iyw)
-        # delta = -G^{-1} b  (cv2's closed form).
+        b1 = jnp.sum(diff * ixw, axis=1)
+        b2 = jnp.sum(diff * iyw, axis=1)
+        # delta = -G^{-1} b (cv2's closed form).
         dxs = (a12 * b2 - a22 * b1) * inv_det
         dys = (a12 * b1 - a11 * b2) * inv_det
-        delta = jnp.stack([dxs, dys]).astype(dtype)
+        delta = jnp.stack([dxs, dys], axis=1).astype(dtype)
 
-        new_pt = pt + delta
-        small = jnp.sum(delta * delta) <= eps2
-        # cv2 oscillation damper: successive deltas cancel -> back half step.
-        osc = (j > 0) & (jnp.abs(delta[0] + prev_delta[0]) < 0.01) & \
-              (jnp.abs(delta[1] + prev_delta[1]) < 0.01)
-        new_pt = jnp.where(osc, new_pt - delta * 0.5, new_pt)
+        new_pts = pts + delta
+        small = jnp.sum(delta * delta, axis=1) <= eps2
+        # cv2 oscillation damper: successive deltas cancel -> half step back.
+        osc = (j > 0) & (jnp.abs(delta[:, 0] + prev_delta[:, 0]) < 0.01) \
+            & (jnp.abs(delta[:, 1] + prev_delta[:, 1]) < 0.01)
+        new_pts = jnp.where(osc[:, None], new_pts - delta * 0.5, new_pts)
 
         active = ~(done | lost)
-        pt = jnp.where(active & ~out_next, new_pt, pt)
+        pts = jnp.where((active & ~out_next)[:, None], new_pts, pts)
         done = done | small | osc | out_next
         lost = lost | (active & out_next)
-        return pt, delta, done, lost
+        return pts, delta, done, lost
 
-    init = (next_pt, jnp.zeros(2, dtype), jnp.asarray(False),
-            jnp.asarray(False))
+    n = prev_pts.shape[0]
     skip = out_prev | bad_g
-    pt_fin, _, _, lost = jax.lax.cond(
-        skip,
-        lambda i: (i[0], i[1], jnp.asarray(True), jnp.asarray(False)),
-        lambda i: jax.lax.fori_loop(0, max_iters, iter_body, i),
-        init)
+    init = (next_pts, jnp.zeros((n, 2), dtype), skip, jnp.zeros((n,), bool))
+    pts_fin, _, _, lost = jax.lax.fori_loop(0, max_iters, iter_body, init)
 
     # Status drops only at level 0 (cv2 `if level == 0` convention).
     is_level0 = level == 0
     new_status = status & ~(is_level0 & (out_prev | bad_g | lost))
-    return pt_fin, new_status
+    return pts_fin, new_status
 
 
 @partial(jax.jit, static_argnames=("win", "max_level", "max_iters", "eps",
@@ -204,23 +241,30 @@ def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
     for _ in range(max_level):
         prev_pyr.append(pyr_down(prev_pyr[-1]))
         next_pyr.append(pyr_down(next_pyr[-1]))
-    derivs = [_scharr_derivs(p) for p in prev_pyr]
 
-    def track_one(pt0, v):
-        # Seeded so the loop's leading *2 yields pt0 / 2^max_level at the top
-        # level (cv2's nextPt init when no initial-flow flag is set).
-        next_pt = pt0 / (2.0 ** (max_level + 1))
-        status = v
+    levels = []
+    for p, nx in zip(prev_pyr, next_pyr):
+        dxm, dym = _scharr_derivs(p)
+        nextP, wp = _patch_matrix(_pad_for_windows(nx, win, "reflect101"),
+                                  win)
+        stack = jnp.stack([
+            _pad_for_windows(p, win, "reflect101"),
+            _pad_for_windows(dxm, win, "zero"),
+            _pad_for_windows(dym, win, "zero")])
+        levels.append(_LevelPatches(prev_stack=stack, next=nextP,
+                                    wprime=wp, hw=p.shape))
 
-        for level in range(max_level, -1, -1):
-            prev_pt = pt0 / (2.0 ** level)
-            next_pt = next_pt * 2.0
-            dxm, dym = derivs[level]
-            next_pt, status = _track_point_level(
-                prev_pyr[level], next_pyr[level], dxm, dym,
-                prev_pt, next_pt, status, level, win, max_iters, eps2,
-                min_eig_thresh)
-        return next_pt, status & v
+    pts = pts.astype(dtype)
+    # Seeded so the loop's leading *2 yields pts / 2^max_level at the top
+    # level (cv2's nextPt init when no initial-flow flag is set).
+    next_pts = pts / (2.0 ** (max_level + 1))
+    status = valid
+    for level in range(max_level, -1, -1):
+        prev_pts = pts / (2.0 ** level)
+        next_pts = next_pts * 2.0
+        next_pts, status = _track_level(
+            levels[level], prev_pts, next_pts, status, level, win,
+            max_iters, eps2, min_eig_thresh, dtype)
 
-    new_pts, status = jax.vmap(track_one)(pts.astype(dtype), valid)
-    return FlowResult(pts=new_pts.astype(jnp.float32), status=status)
+    return FlowResult(pts=next_pts.astype(jnp.float32),
+                      status=status & valid)

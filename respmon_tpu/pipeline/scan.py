@@ -38,6 +38,36 @@ class ClipMeasureResult(NamedTuple):
     final_state: motion.MeasureState
 
 
+def bpm_trace(samples: jnp.ndarray, fps: float,
+              coeffs: filters.FilterCoeffs, min_dist: int, cfg):
+    """Per-frame BPM trace for a whole clip, computed in one batch.
+
+    The reference re-runs its full ``measure()`` on the growing buffer every
+    frame (base.py:489-491) — sequential, quadratic-ish work.  Each frame's
+    estimate depends only on its sample-window prefix, not on any carried
+    state, so all T estimates vectorize: build the (T, N) matrix of
+    right-aligned ring windows and ``vmap`` the BPM stage over rows.  On
+    TPU this replaces T sequential trust-region LM solves with one batched
+    solve whose while_loop runs to the slowest lane — orders of magnitude
+    less sequential depth, bit-identical per-frame results.
+    """
+    t_len = samples.shape[0]
+    n = cfg.buffer_length
+    j = jnp.arange(n)[None, :]
+    src = jnp.arange(t_len)[:, None] - (n - 1) + j
+    wins = samples[jnp.clip(src, 0, t_len - 1)]
+    ts = src.astype(samples.dtype) / fps          # == the monitor's t axis
+    counts = jnp.minimum(jnp.arange(t_len) + 1, n)
+
+    def one(w, tw, c):
+        r = bpm_mod.estimate_bpm(w, tw, c, coeffs, min_dist, cfg)
+        return r.bpm, r.has_bpm
+
+    bpm, has = jax.vmap(one)(wins, ts, counts)
+    has = has & (counts > cfg.initialization_length)
+    return bpm, has
+
+
 @partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg",
                                    "estimate_every_frame"))
 def measure_clip(frames: jnp.ndarray, roi: jnp.ndarray,
@@ -45,24 +75,22 @@ def measure_clip(frames: jnp.ndarray, roi: jnp.ndarray,
                  coeffs: filters.FilterCoeffs, min_dist: int,
                  cfg,  # MeasureConfig (hashable)
                  estimate_every_frame: bool = True) -> ClipMeasureResult:
-    """Scan the measure step (+ optional per-frame BPM) over (T, H, W)."""
+    """Scan the motion step over (T, H, W), then batch-compute the
+    per-frame BPM trace (see ``bpm_trace``)."""
     state0 = motion.init_state(spec, (0, 0, 0, 0), dtype=frames.dtype)
     state0 = state0._replace(roi=roi.astype(jnp.int32))
 
     def body(state, frame):
         state, sample = motion.measure_step(state, frame, spec)
-        if estimate_every_frame:
-            res = bpm_mod.estimate_bpm(state.data, state.t, state.count,
-                                       coeffs, min_dist, cfg)
-            ran = state.count > cfg.initialization_length
-            out = (sample, state.t[-1], res.bpm, res.has_bpm & ran,
-                   state.error)
-        else:
-            z = jnp.asarray(0.0, frames.dtype)
-            out = (sample, state.t[-1], z, jnp.asarray(False), state.error)
-        return state, out
+        return state, (sample, state.t[-1], state.error)
 
-    final, (samples, t, bpm, has, err) = jax.lax.scan(body, state0, frames)
+    final, (samples, t, err) = jax.lax.scan(body, state0, frames)
+
+    if estimate_every_frame:
+        bpm, has = bpm_trace(samples, spec.fps, coeffs, min_dist, cfg)
+    else:
+        bpm = jnp.zeros_like(samples)
+        has = jnp.zeros(samples.shape, bool)
     return ClipMeasureResult(samples=samples, t=t, bpm=bpm, has_bpm=has,
                              error=err, final_state=final)
 
@@ -81,8 +109,11 @@ def process_clip(frames: np.ndarray, fps: float, cfg: MonitorConfig,
     rest.  Two device dispatches total (the ROI's bucketed crop shape is a
     static compile parameter, so locate's result crosses the host once)."""
     cal_len = cfg.calibration.buffer_length
-    assert frames.shape[0] > cal_len + 1, "clip shorter than calibration"
-    cal = jnp.asarray(frames[:cal_len], dtype)
+    assert frames.shape[0] > cal_len + 2, "clip shorter than calibration"
+    # Frame 0 is consumed by the monitor's 'initialize' state before
+    # buffering begins (base.py:423-425), so calibration covers frames
+    # 1..cal_len.
+    cal = jnp.asarray(frames[1:cal_len + 1], dtype)
 
     loc = evm.locate(cal, float(fps), cfg.calibration)
     if not bool(loc.found):
@@ -104,7 +135,7 @@ def process_clip(frames: np.ndarray, fps: float, cfg: MonitorConfig,
 
     # The frame right after the buffer is dropped by the reference loop (it
     # arrives during the locate iteration, base.py:427-463).
-    rest = jnp.asarray(frames[cal_len + 1:], dtype)
+    rest = jnp.asarray(frames[cal_len + 2:], dtype)
     res = measure_clip(rest, jnp.asarray([x, y, w, h]), spec, coeffs,
                        min_dist, cfg.measure,
                        estimate_every_frame=estimate_every_frame)

@@ -96,3 +96,30 @@ def test_filtfilt_float32_tolerance(rng):
                         x.astype(np.float64))
     assert got.dtype == np.float32
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_lfilter_assoc_matches_sequential(rng):
+    x = rng.standard_normal(152)
+    coeffs = filters.design_butter_lowpass(0.5, 10.0, order=3)
+    zi = np.asarray(coeffs.zi) * x[0]
+    seq = np.asarray(filters.lfilter(coeffs, jnp.asarray(x),
+                                     zi=jnp.asarray(zi)))
+    par = np.asarray(filters.lfilter_assoc(coeffs, jnp.asarray(x),
+                                           zi=jnp.asarray(zi)))
+    np.testing.assert_allclose(par, seq, rtol=1e-10, atol=1e-12)
+
+
+def test_filtfilt_masked_associative_matches_scipy(rng):
+    import scipy.signal as sps
+
+    n, count = 128, 50
+    x = rng.standard_normal(count)
+    xp = np.zeros(n)
+    xp[n - count:] = x
+    coeffs = filters.design_butter_lowpass(0.5, 10.0, order=3)
+    for assoc in (True, False):
+        got = np.asarray(filters.filtfilt_masked(
+            coeffs, jnp.asarray(xp), jnp.asarray(count),
+            associative=assoc))[n - count:]
+        want = sps.filtfilt(np.asarray(coeffs.b), np.asarray(coeffs.a), x)
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
