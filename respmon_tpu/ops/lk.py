@@ -118,8 +118,9 @@ def _window_slices3(stack: jnp.ndarray, pad: int, by, bx, fy, fx,
     contiguous dynamic slice per point over the channel-stacked array."""
 
     def one(by1, bx1, fy1, fx1):
+        zero = jnp.zeros((), by1.dtype)
         grid = jax.lax.dynamic_slice(
-            stack, (0, by1 + pad, bx1 + pad), (3, win + 1, win + 1))
+            stack, (zero, by1 + pad, bx1 + pad), (3, win + 1, win + 1))
         out = (grid[:, :-1, :-1] * (1 - fy1) * (1 - fx1)
                + grid[:, :-1, 1:] * (1 - fy1) * fx1
                + grid[:, 1:, :-1] * fy1 * (1 - fx1)
@@ -221,6 +222,84 @@ def _track_level(lp: _LevelPatches, prev_pts, next_pts, status, level, win,
     return pts_fin, new_status
 
 
+class LKFrameInputs(NamedTuple):
+    """Everything LK needs about ONE frame, precomputable and batchable.
+
+    ``stacks``: per-level (3, Hp, Wp) padded (image, dx, dy) — used when
+    this frame plays the *prev* role.  ``patches``: per-level (R, win*win)
+    im2col matrices — used when this frame plays the *next* role.  The clip
+    fast path vmaps ``precompute_frame_inputs`` over all frames up front so
+    the sequential scan carries no pyramid/derivative work at all.
+    """
+
+    stacks: Tuple[jnp.ndarray, ...]
+    patches: Tuple[jnp.ndarray, ...]
+
+
+def level_geometry(h: int, w: int, win: int, max_level: int):
+    """Static per-level (shape, wprime) for images of (h, w)."""
+    shapes = [(h, w)]
+    for _ in range(max_level):
+        hh, ww = shapes[-1]
+        shapes.append(((hh + 1) // 2, (ww + 1) // 2))
+    wprimes = [ww + 2 * (win + 2) - win + 1 for _, ww in shapes]
+    return shapes, wprimes
+
+
+def precompute_frame_inputs(img: jnp.ndarray, win: int = 15,
+                            max_level: int = 2, with_stacks: bool = True,
+                            with_patches: bool = True) -> LKFrameInputs:
+    """Pyramid + Scharr + padding + patch extraction for one frame.
+
+    ``with_stacks``/``with_patches`` skip the prev-role / next-role halves
+    for callers that only need one."""
+    pyr = [img]
+    for _ in range(max_level):
+        pyr.append(pyr_down(pyr[-1]))
+    stacks = []
+    patches = []
+    for p in pyr:
+        if with_stacks:
+            dxm, dym = _scharr_derivs(p)
+            stacks.append(jnp.stack([
+                _pad_for_windows(p, win, "reflect101"),
+                _pad_for_windows(dxm, win, "zero"),
+                _pad_for_windows(dym, win, "zero")]))
+        if with_patches:
+            patch, _ = _patch_matrix(
+                _pad_for_windows(p, win, "reflect101"), win)
+            patches.append(patch)
+    return LKFrameInputs(stacks=tuple(stacks), patches=tuple(patches))
+
+
+def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
+                         pts: jnp.ndarray, valid: jnp.ndarray,
+                         shapes, wprimes, win: int = 15, max_level: int = 2,
+                         max_iters: int = 10, eps: float = 0.03,
+                         min_eig_thresh: float = 1e-4) -> FlowResult:
+    """LK tracking from precomputed frame inputs (see LKFrameInputs).
+
+    ``shapes``/``wprimes`` come from ``level_geometry`` (static)."""
+    dtype = prev.stacks[0].dtype
+    eps2 = jnp.asarray(min(max(eps, 0.0), 10.0) ** 2, dtype)
+
+    pts = pts.astype(dtype)
+    next_pts = pts / (2.0 ** (max_level + 1))
+    status = valid
+    for level in range(max_level, -1, -1):
+        lp = _LevelPatches(prev_stack=prev.stacks[level],
+                           next=nxt.patches[level],
+                           wprime=wprimes[level], hw=shapes[level])
+        prev_pts = pts / (2.0 ** level)
+        next_pts = next_pts * 2.0
+        next_pts, status = _track_level(
+            lp, prev_pts, next_pts, status, level, win, max_iters, eps2,
+            min_eig_thresh, dtype)
+
+    return FlowResult(pts=next_pts.astype(jnp.float32),
+                      status=status & valid)
+
+
 @partial(jax.jit, static_argnames=("win", "max_level", "max_iters", "eps",
                                    "min_eig_thresh"))
 def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
@@ -231,40 +310,15 @@ def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
     """Track masked points from prev_img to next_img ((H, W), [0,255] scale).
 
     Returns tracked positions and per-point status; invalid inputs stay
-    invalid.  Mirrors the reference call site base.py:371-372.
+    invalid.  Mirrors the reference call site base.py:371-372.  (Live-path
+    wrapper; the whole-clip scan uses the precomputed-inputs variant.)
     """
-    dtype = prev_img.dtype
-    eps2 = jnp.asarray(min(max(eps, 0.0), 10.0) ** 2, dtype)
-
-    prev_pyr = [prev_img]
-    next_pyr = [next_img]
-    for _ in range(max_level):
-        prev_pyr.append(pyr_down(prev_pyr[-1]))
-        next_pyr.append(pyr_down(next_pyr[-1]))
-
-    levels = []
-    for p, nx in zip(prev_pyr, next_pyr):
-        dxm, dym = _scharr_derivs(p)
-        nextP, wp = _patch_matrix(_pad_for_windows(nx, win, "reflect101"),
-                                  win)
-        stack = jnp.stack([
-            _pad_for_windows(p, win, "reflect101"),
-            _pad_for_windows(dxm, win, "zero"),
-            _pad_for_windows(dym, win, "zero")])
-        levels.append(_LevelPatches(prev_stack=stack, next=nextP,
-                                    wprime=wp, hw=p.shape))
-
-    pts = pts.astype(dtype)
-    # Seeded so the loop's leading *2 yields pts / 2^max_level at the top
-    # level (cv2's nextPt init when no initial-flow flag is set).
-    next_pts = pts / (2.0 ** (max_level + 1))
-    status = valid
-    for level in range(max_level, -1, -1):
-        prev_pts = pts / (2.0 ** level)
-        next_pts = next_pts * 2.0
-        next_pts, status = _track_level(
-            levels[level], prev_pts, next_pts, status, level, win,
-            max_iters, eps2, min_eig_thresh, dtype)
-
-    return FlowResult(pts=next_pts.astype(jnp.float32),
-                      status=status & valid)
+    h, w = prev_img.shape
+    shapes, wprimes = level_geometry(h, w, win, max_level)
+    prev = precompute_frame_inputs(prev_img, win, max_level,
+                                   with_patches=False)
+    nxt = precompute_frame_inputs(next_img, win, max_level,
+                                  with_stacks=False)
+    return lk_track_precomputed(prev, nxt, pts, valid, tuple(shapes),
+                                tuple(wprimes), win, max_level, max_iters,
+                                eps, min_eig_thresh)

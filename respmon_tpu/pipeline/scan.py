@@ -68,6 +68,105 @@ def bpm_trace(samples: jnp.ndarray, fps: float,
     return bpm, has
 
 
+def _clip_crops(frames: jnp.ndarray, roi: jnp.ndarray,
+                spec: motion.MeasureSpec):
+    """Crop all frames to the bucketed ROI window in ONE dynamic slice
+    (the ROI is fixed for the whole clip) + validity mask."""
+    t_len = frames.shape[0]
+    x, y, w, h = roi[0], roi[1], roi[2], roi[3]
+    sx = jnp.clip(x, 0, spec.frame_w - spec.crop_w)
+    sy = jnp.clip(y, 0, spec.frame_h - spec.crop_h)
+    crops = jax.lax.dynamic_slice(
+        frames, (0, sy, sx), (t_len, spec.crop_h, spec.crop_w))
+    dx = x - sx
+    dy = y - sy
+    rows = jnp.arange(spec.crop_h)[:, None]
+    cols = jnp.arange(spec.crop_w)[None, :]
+    mask = (rows >= dy) & (rows < dy + h) & (cols >= dx) & (cols < dx + w)
+    return crops, mask
+
+
+def _flow_samples_clip(crops: jnp.ndarray, mask: jnp.ndarray,
+                       spec: motion.MeasureSpec):
+    """Flow-mode motion samples for a whole clip.
+
+    All per-frame heavy lifting (pyramids, Scharr, padding, im2col patch
+    matrices) happens as ONE batched vmap over frames before the scan —
+    clips are known upfront, so none of it needs to live on the sequential
+    path.  The scan then carries only the tiny tracking state (points,
+    masks, motion ring) and does window slices + Newton iterations.
+    """
+    from respmon_tpu.ops import corners, lk, pca
+
+    t_len = crops.shape[0]
+    n_ring = spec.buffer_length
+    win = spec.lk.win_size[0]
+    max_level = spec.lk.max_level
+    dtype = crops.dtype
+
+    crops_u8 = jnp.trunc(jnp.where(mask, crops, 0.0) * 255.0)
+
+    inputs = jax.vmap(
+        lambda c: lk.precompute_frame_inputs(c, win, max_level))(crops_u8)
+
+    cs = corners.good_features_to_track(
+        crops_u8[0], max_corners=spec.features.max_corners,
+        quality_level=spec.features.quality_level,
+        min_distance=spec.features.min_distance,
+        block_size=spec.features.block_size, roi_mask=mask)
+    first_error = cs.count < 1   # base.py:367-368
+
+    shapes, wprimes = lk.level_geometry(spec.crop_h, spec.crop_w, win,
+                                        max_level)
+    shapes = tuple(shapes)
+    wprimes = tuple(wprimes)
+
+    prev_ins = jax.tree_util.tree_map(lambda a: a[:-1], inputs)
+    next_ins = jax.tree_util.tree_map(lambda a: a[1:], inputs)
+
+    def body(carry, xs):
+        pts, valid, motion_xy, motion_count = carry
+        prev_in, next_in = xs
+        fr = lk.lk_track_precomputed(
+            prev_in, next_in, pts, valid, shapes, wprimes, win, max_level,
+            spec.lk.max_iters, spec.lk.epsilon)
+        good = fr.status & valid
+        n_good = jnp.sum(good)
+        lost = n_good == 0
+
+        disp = pts - fr.pts                      # old - new (base.py:388)
+        gw = good.astype(dtype)[:, None]
+        mean_disp = jnp.sum(disp * gw, axis=0) / \
+            jnp.maximum(n_good, 1).astype(dtype)
+
+        motion_xy = jnp.where(
+            lost, motion_xy,
+            jnp.concatenate([motion_xy[1:], mean_disp[None]], axis=0))
+        motion_count = jnp.where(
+            lost, motion_count, jnp.minimum(motion_count + 1, n_ring))
+
+        mmask = jnp.arange(n_ring) >= (n_ring - motion_count)
+        proj = pca.pca_project_last(motion_xy, mmask)
+        sample = jnp.where(motion_count >= 2, proj, 0.0)
+        sample = jnp.where(lost, jnp.nan, sample).astype(dtype)
+
+        return (fr.pts, good, motion_xy, motion_count), (sample, lost)
+
+    carry0 = (cs.pts, cs.valid,
+              jnp.zeros((n_ring, 2), dtype), jnp.asarray(0, jnp.int32))
+    (pts_f, valid_f, motion_xy_f, motion_count_f), (samples, lost) = \
+        jax.lax.scan(body, carry0, (prev_ins, next_ins))
+
+    # Frame 0: corner detection, sample 0.0 (base.py:363-369).
+    samples = jnp.concatenate([jnp.zeros((1,), dtype), samples])
+    errors = jnp.concatenate([first_error[None], lost])
+    flow_state = dict(initialized=jnp.asarray(True),
+                      prev_crop=crops_u8[-1].astype(dtype),
+                      pts=pts_f, pts_valid=valid_f,
+                      motion_xy=motion_xy_f, motion_count=motion_count_f)
+    return samples, errors, flow_state
+
+
 @partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg",
                                    "estimate_every_frame"))
 def measure_clip(frames: jnp.ndarray, roi: jnp.ndarray,
@@ -75,24 +174,48 @@ def measure_clip(frames: jnp.ndarray, roi: jnp.ndarray,
                  coeffs: filters.FilterCoeffs, min_dist: int,
                  cfg,  # MeasureConfig (hashable)
                  estimate_every_frame: bool = True) -> ClipMeasureResult:
-    """Scan the motion step over (T, H, W), then batch-compute the
-    per-frame BPM trace (see ``bpm_trace``)."""
-    state0 = motion.init_state(spec, (0, 0, 0, 0), dtype=frames.dtype)
-    state0 = state0._replace(roi=roi.astype(jnp.int32))
+    """Whole-clip measurement: batched crops → (parallel pixel means |
+    batch-precomputed LK scan) → batched BPM trace.
 
-    def body(state, frame):
-        state, sample = motion.measure_step(state, frame, spec)
-        return state, (sample, state.t[-1], state.error)
+    Average mode has no sequential stage at all; flow mode's scan carries
+    only the tracking state.  Semantics match the streaming monitor's
+    per-frame path (verified in tests/test_scan_clip.py).
+    """
+    t_len = frames.shape[0]
+    dtype = frames.dtype
+    n_ring = spec.buffer_length
+    crops, mask = _clip_crops(frames, roi, spec)
 
-    final, (samples, t, err) = jax.lax.scan(body, state0, frames)
+    if spec.method == "average":
+        msum = jnp.sum(jnp.where(mask, crops, 0.0), axis=(1, 2))
+        samples = msum / jnp.maximum(jnp.sum(mask), 1)
+        errors = jnp.zeros((t_len,), bool)
+        flow_state = None
+    else:
+        samples, errors, flow_state = _flow_samples_clip(crops, mask, spec)
+
+    t = jnp.arange(t_len, dtype=dtype) / spec.fps
 
     if estimate_every_frame:
         bpm, has = bpm_trace(samples, spec.fps, coeffs, min_dist, cfg)
     else:
         bpm = jnp.zeros_like(samples)
         has = jnp.zeros(samples.shape, bool)
+
+    # Reconstruct the final MeasureState (for resume / API parity).
+    count = jnp.minimum(jnp.asarray(t_len), n_ring)
+    src = jnp.arange(n_ring) + t_len - n_ring
+    ring = jnp.where(src >= 0, samples[jnp.clip(src, 0, t_len - 1)], 0.0)
+    t_ring = jnp.where(src >= 0, t[jnp.clip(src, 0, t_len - 1)], 0.0)
+    final = motion.init_state(spec, (0, 0, 0, 0), dtype=dtype)
+    final = final._replace(roi=roi.astype(jnp.int32), data=ring,
+                           t=t_ring, count=count.astype(jnp.int32),
+                           error=errors[-1])
+    if flow_state is not None:
+        final = final._replace(**flow_state)
+
     return ClipMeasureResult(samples=samples, t=t, bpm=bpm, has_bpm=has,
-                             error=err, final_state=final)
+                             error=errors, final_state=final)
 
 
 class ClipRunResult(NamedTuple):
