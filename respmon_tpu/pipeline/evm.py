@@ -47,6 +47,24 @@ class LocateResult(NamedTuple):
     raw_heat_u8: jnp.ndarray  # (H, W) uint8 of the unmasked heatmap
 
 
+def _band_laplacian_levels(vid: jnp.ndarray, cfg: CalibrationConfig):
+    """Laplacian levels [skip_top, levels-2] of the video.
+
+    On TPU backends this runs the fused Pallas kernel (the whole per-frame
+    pyramid stays in VMEM; ~2x the XLA formulation, bit-identical — see
+    ops/pyramid_pallas.py); the XLA path serves CPU/interpret contexts.
+    """
+    first = cfg.skip_levels_at_top
+    last = cfg.pyramid_levels - 2
+    if jax.default_backend() != "cpu":
+        from respmon_tpu.ops.pyramid_pallas import laplacian_band_levels
+
+        levels = laplacian_band_levels(vid, cfg.pyramid_levels, first)
+        return dict(zip(range(first, last + 1), levels))
+    lap = laplacian_pyramid(vid, cfg.pyramid_levels)
+    return {i: lap[i] for i in range(first, last + 1)}
+
+
 def eulerian_magnification_bandpass(vid: jnp.ndarray, fps: float,
                                     cfg: CalibrationConfig) -> EVMResult:
     """transforms.py:144-198 as one traced computation.
@@ -57,15 +75,13 @@ def eulerian_magnification_bandpass(vid: jnp.ndarray, fps: float,
     levels = cfg.pyramid_levels
     shapes = pyramid_shapes(h, w, levels)
 
-    lap = laplacian_pyramid(vid, levels)
+    band_lap = _band_laplacian_levels(vid, cfg)
 
     # Bandpass the kept levels (skip top `skip_levels_at_top` and bottom 1).
-    first = cfg.skip_levels_at_top
     last = levels - 2  # inclusive; level levels-1 is the Gaussian top
-    band = {}
-    for i in range(first, last + 1):
-        band[i] = temporal_bandpass_fft(lap[i], fps, cfg.freq_min,
-                                        cfg.freq_max, cfg.amplification)
+    band = {i: temporal_bandpass_fft(lvl, fps, cfg.freq_min, cfg.freq_max,
+                                     cfg.amplification)
+            for i, lvl in band_lap.items()}
 
     # Collapse the (implicitly zero-padded) bandpassed pyramid: start at the
     # deepest filtered level and pyrUp-add up through level 0 (zero levels
