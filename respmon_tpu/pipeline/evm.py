@@ -56,7 +56,12 @@ def _band_laplacian_levels(vid: jnp.ndarray, cfg: CalibrationConfig):
     """
     first = cfg.skip_levels_at_top
     last = cfg.pyramid_levels - 2
-    if jax.default_backend() != "cpu":
+    # The fused kernel keeps a frame plus its full Gaussian pyramid
+    # (~4/3 of the frame) x2 pipeline buffers in VMEM; guard against
+    # footprints that exceed the ~16 MB budget (e.g. 1080p frames).
+    h, w = vid.shape[-2:]
+    vmem_bytes = int(h * w * vid.dtype.itemsize * (4.0 / 3.0) * 2.2)
+    if jax.default_backend() != "cpu" and vmem_bytes < 14 * 1024 * 1024:
         from respmon_tpu.ops.pyramid_pallas import laplacian_band_levels
 
         levels = laplacian_band_levels(vid, cfg.pyramid_levels, first)
