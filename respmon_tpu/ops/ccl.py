@@ -49,26 +49,47 @@ def _neighbor_min(lab: jnp.ndarray, big: int) -> jnp.ndarray:
     return jnp.minimum(lab, jnp.min(stack, axis=0))
 
 
+def _segmented_min_scan(lab: jnp.ndarray, fg: jnp.ndarray, axis: int,
+                        big: int) -> jnp.ndarray:
+    """Min-propagate labels along ``axis`` within contiguous foreground
+    runs, both directions, via ``lax.associative_scan`` — a whole run
+    equalizes in O(log n) parallel steps with zero gathers (TPU gathers on
+    megapixel images are the CCL bottleneck otherwise)."""
+    boundary = ~fg
+
+    def combine(a, b):
+        m1, b1 = a
+        m2, b2 = b
+        return jnp.where(b2, m2, jnp.minimum(m1, m2)), b1 | b2
+
+    fwd, _ = jax.lax.associative_scan(combine, (lab, boundary), axis=axis)
+    bwd, _ = jax.lax.associative_scan(combine, (lab, boundary), axis=axis,
+                                      reverse=True)
+    out = jnp.minimum(fwd, bwd)
+    return jnp.where(fg, out, big)
+
+
 @jax.jit
 def label_components(fg: jnp.ndarray) -> jnp.ndarray:
     """8-connected component labels: each foreground pixel gets the smallest
-    flat index in its component; background gets H*W.  fg is (H, W) bool."""
+    flat index in its component; background gets H*W.  fg is (H, W) bool.
+
+    Fixed-point of sweeps, each: 8-neighborhood min (shift-based) then
+    segmented min-scans along rows and columns.  The scans propagate labels
+    across entire runs at once, so convergence takes a handful of sweeps on
+    real masks (vs O(image diameter) for pure neighbor propagation, or
+    megapixel gathers for pointer jumping)."""
     h, w = fg.shape
     big = h * w
     idx = jnp.arange(big, dtype=jnp.int32).reshape(h, w)
     lab = jnp.where(fg, idx, big)
 
-    def jump(lab):
-        # Pointer jump: follow the label to its own label (path halving).
-        flat = jnp.concatenate(
-            [lab.reshape(-1), jnp.asarray([big], jnp.int32)])
-        return jnp.minimum(lab, flat[lab.reshape(-1)].reshape(h, w))
-
     def body(state):
         lab, _ = state
         new = _neighbor_min(lab, big)
         new = jnp.where(fg, new, big)
-        new = jnp.where(fg, jump(jump(new)), big)
+        new = _segmented_min_scan(new, fg, 1, big)
+        new = _segmented_min_scan(new, fg, 0, big)
         return new, jnp.any(new != lab)
 
     def cond(state):
