@@ -30,8 +30,11 @@ def main():
     print(f"devices: {ndev}, mesh: {'sharded' if mesh else 'single'}")
 
     cfg = MonitorConfig(calibration=CalibrationConfig(
-        buffer_length=32, pyramid_levels=4, skip_levels_at_top=1))
-    bpms = [12.0 + 3.0 * (i % 6) for i in range(s)]
+        buffer_length=64, pyramid_levels=4, skip_levels_at_top=1))
+    # NB: short demo buffers narrow the packed-rfft passband (same math as
+    # the reference); 64 frames localizes 12-24 BPM reliably, the production
+    # 128-frame buffer covers the full 6-60 BPM band.
+    bpms = [12.0 + 3.0 * (i % 5) for i in range(s)]
     clips = np.stack([
         breathing_clip(num_frames=args.frames, height=60, width=80, fps=fps,
                        bpm=bpms[i], patch_center=(30, 40),
@@ -40,11 +43,12 @@ def main():
         for i in range(s)])
 
     mon = MultiStreamMonitor(cfg, mesh, (60, 80), fps)
-    loc = mon.calibrate(clips[:, :32])
+    cal_len = cfg.calibration.buffer_length
+    loc = mon.calibrate(clips[:, :cal_len])
     print("calibrated:", np.asarray(loc.found).tolist())
 
     last = np.full(s, np.nan)
-    for f in range(33, args.frames):
+    for f in range(cal_len + 1, args.frames):
         res = mon.step(clips[:, f])
         has = np.asarray(res.has_bpm)
         last[has] = np.asarray(res.bpm)[has]

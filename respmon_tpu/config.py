@@ -50,6 +50,10 @@ class CalibrationConfig:
     temporal_threshold: float = 0.7     # suppress-top window proportion
     threshold: float = 0.08             # binary threshold (x255 at use site)
     maximum_bounding_box_area: float = math.inf
+    # The reference's EVM accepts a pluggable temporal filter
+    # (transforms.py:146 `temporal_filter_function`); 'fft' is the production
+    # default, 'iir' the order-6 Butterworth alternative (as SOS for f32).
+    temporal_filter: str = "fft"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -197,6 +197,46 @@ class MultiStreamMonitor:
             self.states = shard_streams(self.states, self.mesh)
         return loc
 
+    def recalibrate(self, buffers: np.ndarray,
+                    stream_mask: Optional[np.ndarray] = None
+                    ) -> BatchedLocate:
+        """Recalibrate a subset of streams in place (the fleet analog of the
+        single monitor's error→recalibrate cycle).
+
+        Streams where ``stream_mask`` is True (default: all) AND calibration
+        found an ROI get a fresh measurement state with the new ROI; other
+        streams keep their state untouched.  New ROIs are clipped to the
+        fleet's common crop bucket — if a new ROI exceeds it, call
+        ``calibrate`` instead (which rebuilds the compiled spec).
+        """
+        assert self.states is not None, "calibrate() first"
+        dev = jnp.asarray(buffers, self.dtype)
+        if self.mesh is not None:
+            dev = shard_streams(dev, self.mesh)
+            loc = make_sharded_locate(self.mesh, self.fps,
+                                      self.cfg.calibration)(dev)
+        else:
+            loc = locate_streams(dev, self.fps, self.cfg.calibration)
+
+        boxes = np.asarray(loc.boxes).copy()
+        boxes[:, 2] = np.minimum(boxes[:, 2], self.spec.crop_w)
+        boxes[:, 3] = np.minimum(boxes[:, 3], self.spec.crop_h)
+        apply = np.asarray(loc.found)
+        if stream_mask is not None:
+            apply = apply & np.asarray(stream_mask)
+
+        fresh = init_stream_states(self.spec, boxes, self.dtype)
+        sel = jnp.asarray(apply)
+
+        def merge(cur, new):
+            m = sel.reshape((-1,) + (1,) * (cur.ndim - 1))
+            return jnp.where(m, new, cur)
+
+        self.states = jax.tree_util.tree_map(merge, self.states, fresh)
+        if self.mesh is not None:
+            self.states = shard_streams(self.states, self.mesh)
+        return loc
+
     def step(self, frames: np.ndarray) -> StreamStepResult:
         """frames: (S, H, W) — one new frame per stream."""
         assert self.states is not None, "calibrate() first"

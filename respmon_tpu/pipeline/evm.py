@@ -82,11 +82,18 @@ def eulerian_magnification_bandpass(vid: jnp.ndarray, fps: float,
 
     band_lap = _band_laplacian_levels(vid, cfg)
 
-    # Bandpass the kept levels (skip top `skip_levels_at_top` and bottom 1).
+    # Bandpass the kept levels (skip top `skip_levels_at_top` and bottom 1)
+    # with the configured temporal filter (transforms.py:146).
+    if cfg.temporal_filter == "fft":
+        filt = lambda lvl: temporal_bandpass_fft(
+            lvl, fps, cfg.freq_min, cfg.freq_max, cfg.amplification)
+    else:
+        from respmon_tpu.ops.fft_bandpass import temporal_bandpass_iir
+
+        filt = lambda lvl: temporal_bandpass_iir(
+            lvl, fps, cfg.freq_min, cfg.freq_max, cfg.amplification)
     last = levels - 2  # inclusive; level levels-1 is the Gaussian top
-    band = {i: temporal_bandpass_fft(lvl, fps, cfg.freq_min, cfg.freq_max,
-                                     cfg.amplification)
-            for i, lvl in band_lap.items()}
+    band = {i: filt(lvl) for i, lvl in band_lap.items()}
 
     # Collapse the (implicitly zero-padded) bandpassed pyramid: start at the
     # deepest filtered level and pyrUp-add up through level 0 (zero levels

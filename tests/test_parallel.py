@@ -107,3 +107,50 @@ def test_stream_axis_sharding_is_collective_free():
     for coll in ("all-reduce", "all-gather", "collective-permute",
                  "all-to-all"):
         assert coll not in hlo, f"unexpected collective {coll} in HLO"
+
+
+def test_recalibrate_subset_of_streams():
+    mesh = make_mesh(axis_names=("streams",))
+    clips = _stream_clips(8, 40)
+    mon = streams_mod.MultiStreamMonitor(SMALL_CFG, mesh, (60, 80), FPS)
+    mon.calibrate(clips[:, :32])
+    # Advance a few steps so states diverge from fresh.
+    for f in range(33, 38):
+        mon.step(clips[:, f])
+    counts_before = np.asarray(mon.states.count).copy()
+    rois_before = np.asarray(mon.states.roi).copy()
+
+    # Recalibrate only streams 0 and 3 with shifted-patch buffers.
+    new_clips = _stream_clips(8, 32, seed0=100)
+    mask = np.zeros(8, bool)
+    mask[[0, 3]] = True
+    loc = mon.recalibrate(new_clips, stream_mask=mask)
+    assert bool(np.asarray(loc.found)[[0, 3]].all())
+
+    counts_after = np.asarray(mon.states.count)
+    rois_after = np.asarray(mon.states.roi)
+    # Recalibrated streams reset; others untouched.
+    assert (counts_after[[0, 3]] == 0).all()
+    np.testing.assert_array_equal(counts_after[[1, 2, 4, 5, 6, 7]],
+                                  counts_before[[1, 2, 4, 5, 6, 7]])
+    np.testing.assert_array_equal(rois_after[[1, 2, 4, 5, 6, 7]],
+                                  rois_before[[1, 2, 4, 5, 6, 7]])
+    # Stepping still works after the patch.
+    res = mon.step(clips[:, 38])
+    assert np.asarray(res.samples).shape == (8,)
+
+
+def test_iir_temporal_filter_config():
+    # The reference's pluggable temporal filter (transforms.py:146): the IIR
+    # variant must localize the same synthetic patch.
+    import dataclasses
+
+    from respmon_tpu.pipeline import evm
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(SMALL_CFG.calibration, temporal_filter="iir")
+    clip = _stream_clips(1, 32)[0]
+    res = evm.locate(jnp.asarray(clip), FPS, cfg)
+    assert bool(res.found)
+    assert res.x <= 40 <= res.x + res.w
+    assert res.y <= 30 <= res.y + res.h
