@@ -31,12 +31,46 @@ def main(argv=None) -> int:
     p.add_argument("--skip-calibration", type=int, nargs=4,
                    metavar=("X", "Y", "W", "H"),
                    help="pin a known ROI and skip EVM calibration")
+    p.add_argument("--fast", action="store_true",
+                   help="offline fast path for recorded clips: decode the "
+                        "whole file, then calibrate + measure in two device "
+                        "calls (lax.scan) instead of streaming frame-by-"
+                        "frame")
+    p.add_argument("--fps", type=float, default=None,
+                   help="override/declare the clip frame rate")
     args = p.parse_args(argv)
 
     logging.basicConfig(format="%(asctime)s :: %(message)s",
                         level=logging.INFO)
 
     target = int(args.target) if args.target.isdigit() else args.target
+
+    if args.fast:
+        import numpy as np
+
+        from respmon_tpu.config import MonitorConfig
+        from respmon_tpu.io.capture import OpenCVCapture
+        from respmon_tpu.pipeline.scan import process_clip
+
+        cap = OpenCVCapture(target)
+        fps = args.fps or cap.fps
+        assert fps == fps, "--fast needs a known fps (pass --fps)"
+        frames = []
+        while True:
+            f = cap.next_frame()
+            if f is None:
+                break
+            frames.append(f)
+        cap.release()
+        clip = np.stack(frames).astype(np.float32)
+        cfg = MonitorConfig(motion_extraction_method=args.method)
+        res = process_clip(clip, float(fps), cfg)
+        if not res.found:
+            logging.error("calibration found no ROI")
+            return 1
+        logging.info("ROI: {0}".format(res.roi))
+        logging.info("Final BPM estimate: {0}".format(res.final_bpm))
+        return 0
 
     from respmon_tpu.runtime import RespiratoryMonitor
 

@@ -56,6 +56,20 @@ logger = logging.getLogger(__name__)
 _measure_step_jit = jax.jit(motion.measure_step, static_argnames=("spec",))
 
 
+@partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg"))
+def _measure_and_estimate(state, frame, spec, coeffs, min_dist, cfg):
+    """One fused live-path dispatch: motion step + BPM estimate.
+
+    A single device call per frame instead of two — dispatch latency is the
+    live loop's budget (tunneled deployments pay ~26 ms per call).  The BPM
+    stage runs unconditionally and is masked by the >initialization_length
+    gate (base.py:489) on the host."""
+    new_state, sample = motion.measure_step(state, frame, spec)
+    res = bpm_mod.estimate_bpm(new_state.data, new_state.t, new_state.count,
+                               coeffs, min_dist, cfg)
+    return new_state, sample, res
+
+
 class RespiratoryMonitor:
     def __init__(self, capture_target=0, save_calibration_image=False,
                  visualize: Optional[str] = "pyqtgraph", fig_size=None,
@@ -322,8 +336,9 @@ class RespiratoryMonitor:
                 b.popleft()
 
         frame_dev = jnp.asarray(frame, self.compute_dtype)
-        new_state, sample = _measure_step_jit(self._measure_state, frame_dev,
-                                              spec)
+        new_state, sample, bpm_res = _measure_and_estimate(
+            self._measure_state, frame_dev, spec, self._lowpass,
+            max(self.peak_minimum_sample_distance, 1), self.config.measure)
         self._measure_state = new_state
         sample_val = float(sample)
         self.data.append(sample_val)
@@ -350,25 +365,16 @@ class RespiratoryMonitor:
                 and len(self.data) == 1):
             self.trigger_error("No motion key points found.")
         elif len(self.data) > self.config.measure.initialization_length:
-            self._measure_bpm()
+            self._consume_bpm(bpm_res)
             if not self.disable_error_detection and self.detect_errors():
                 self.trigger_error("error detection found poor signal")
         self.benchmarker.tick_end("Measurement Loop")
 
-    def _measure_bpm(self):
+    def _consume_bpm(self, res):
+        """Host mirrors from the fused step's BPM result (the device-side
+        signal ring equals the host deque by construction)."""
         n = self.config.measure.buffer_length
         count = len(self.data)
-        data_arr = np.zeros(n, dtype=np.asarray(
-            self._measure_state.data).dtype)
-        t_arr = np.zeros_like(data_arr)
-        data_arr[n - count:] = np.asarray(self.data, dtype=data_arr.dtype)
-        t_arr[n - count:] = np.asarray(self.t, dtype=t_arr.dtype)
-
-        res = bpm_mod.estimate_bpm_jit(
-            jnp.asarray(data_arr), jnp.asarray(t_arr), jnp.asarray(count),
-            self._lowpass, max(self.peak_minimum_sample_distance, 1),
-            self.config.measure)
-
         filt = np.asarray(res.filtered)[n - count:]
         self.filtered_data = filt
         acc = np.asarray(res.accept_mask)

@@ -108,7 +108,7 @@ def detect_peaks_oracle(x, mph=None, mpd=1, threshold=0.0, edge="rising",
                            & (np.hstack((0, dx)) >= 0))[0]
     ind = np.unique(np.hstack((ine, ire, ife)))
     if ind.size and indnan.size:
-        ind = ind[np.in1d(ind, np.unique(np.hstack(
+        ind = ind[np.isin(ind, np.unique(np.hstack(
             (indnan, indnan - 1, indnan + 1))), invert=True)]
     if ind.size and ind[0] == 0:
         ind = ind[1:]
