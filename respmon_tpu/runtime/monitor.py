@@ -18,10 +18,10 @@ Departures from the reference (deliberate, documented):
   - Construction does NOT block: pass ``auto_run=True`` (the default mirrors
     the reference's ctor-runs behavior) or call ``run()`` explicitly;
     ``step()`` exposes single-frame stepping for tests and embedding.
-  - Compute runs as two jitted device programs: ``locate`` once per
-    calibration and ``measure_step`` + ``estimate_bpm`` per frame (ROI dims
-    are bucketed so recompiles are bounded); the whole-clip ``lax.scan``
-    fast path lives in ``pipeline/scan.py``.
+  - Compute runs as jitted device programs: ``locate`` once per calibration
+    and one fused motion+BPM dispatch per frame (ROI dims are bucketed so
+    recompiles are bounded); the whole-clip ``lax.scan`` fast path lives in
+    ``pipeline/scan.py``.
   - A capture source can be injected (ArrayCapture) for recorded-clip
     replay, and ``sync_fps=False`` disables wall-clock sleeping for
     faster-than-real-time offline runs.
@@ -52,8 +52,6 @@ from respmon_tpu.utils.bench import Benchmarker
 from respmon_tpu.viz.ui import make_ui
 
 logger = logging.getLogger(__name__)
-
-_measure_step_jit = jax.jit(motion.measure_step, static_argnames=("spec",))
 
 
 @partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg"))
