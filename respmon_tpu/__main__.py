@@ -46,6 +46,13 @@ def main(argv=None) -> int:
     target = int(args.target) if args.target.isdigit() else args.target
 
     if args.fast:
+        if isinstance(target, int):
+            p.error("--fast requires a recorded clip path, not a live "
+                    "camera (the whole file is decoded upfront)")
+        if args.skip_calibration:
+            p.error("--fast does not support --skip-calibration; use the "
+                    "streaming mode for pinned-ROI runs")
+
         import numpy as np
 
         from respmon_tpu.config import MonitorConfig
@@ -54,7 +61,9 @@ def main(argv=None) -> int:
 
         cap = OpenCVCapture(target)
         fps = args.fps or cap.fps
-        assert fps == fps, "--fast needs a known fps (pass --fps)"
+        if fps != fps:  # NaN: container carried no rate
+            p.error("--fast needs a known fps (pass --fps)")
+        fps = min(float(fps), args.fps_limit)  # mirror detect_fps limiting
         frames = []
         while True:
             f = cap.next_frame()
@@ -64,11 +73,16 @@ def main(argv=None) -> int:
         cap.release()
         clip = np.stack(frames).astype(np.float32)
         cfg = MonitorConfig(motion_extraction_method=args.method)
-        res = process_clip(clip, float(fps), cfg)
+        res = process_clip(clip, fps, cfg)
         if not res.found:
             logging.error("calibration found no ROI")
             return 1
         logging.info("ROI: {0}".format(res.roi))
+        if res.error_frame is not None:
+            logging.warning(
+                "tracking lost at measured frame {0}; BPMs after that "
+                "point are unavailable (streaming mode would have "
+                "recalibrated)".format(res.error_frame))
         logging.info("Final BPM estimate: {0}".format(res.final_bpm))
         return 0
 

@@ -39,9 +39,12 @@ def _pad2_rows(x: jnp.ndarray) -> jnp.ndarray:
     if n >= 3:
         front = jnp.concatenate([x[2:3], x[1:2]], axis=0)
         back = jnp.concatenate([x[n - 2:n - 1], x[n - 3:n - 2]], axis=0)
-    else:  # n == 2: reflect101 period 2 -> rows (0, 1 | 0, 1)
+    elif n == 2:  # reflect101 period 2 -> rows (0, 1 | 0, 1)
         front = x[0:2]
         back = x[0:2]
+    else:  # n == 1: every reflected index is 0
+        front = jnp.concatenate([x[0:1], x[0:1]], axis=0)
+        back = front
     return jnp.concatenate([front, x, back], axis=0)
 
 

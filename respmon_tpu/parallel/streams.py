@@ -219,11 +219,22 @@ class MultiStreamMonitor:
             loc = locate_streams(dev, self.fps, self.cfg.calibration)
 
         boxes = np.asarray(loc.boxes).copy()
+        clipped = (boxes[:, 2] > self.spec.crop_w) | \
+                  (boxes[:, 3] > self.spec.crop_h)
         boxes[:, 2] = np.minimum(boxes[:, 2], self.spec.crop_w)
         boxes[:, 3] = np.minimum(boxes[:, 3], self.spec.crop_h)
         apply = np.asarray(loc.found)
         if stream_mask is not None:
             apply = apply & np.asarray(stream_mask)
+        if (clipped & apply).any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "recalibrate: ROI(s) for streams %s exceed the fleet crop "
+                "bucket (%dx%d) and were clipped; run calibrate() to "
+                "rebuild the fleet spec if this persists",
+                np.where(clipped & apply)[0].tolist(),
+                self.spec.crop_w, self.spec.crop_h)
 
         fresh = init_stream_states(self.spec, boxes, self.dtype)
         sel = jnp.asarray(apply)
@@ -235,7 +246,9 @@ class MultiStreamMonitor:
         self.states = jax.tree_util.tree_map(merge, self.states, fresh)
         if self.mesh is not None:
             self.states = shard_streams(self.states, self.mesh)
-        return loc
+        # Report the boxes actually installed (clipped where applicable).
+        return BatchedLocate(found=loc.found,
+                             boxes=jnp.asarray(boxes, jnp.int32))
 
     def step(self, frames: np.ndarray) -> StreamStepResult:
         """frames: (S, H, W) — one new frame per stream."""

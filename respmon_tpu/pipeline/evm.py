@@ -61,7 +61,10 @@ def _band_laplacian_levels(vid: jnp.ndarray, cfg: CalibrationConfig):
     # footprints that exceed the ~16 MB budget (e.g. 1080p frames).
     h, w = vid.shape[-2:]
     vmem_bytes = int(h * w * vid.dtype.itemsize * (4.0 / 3.0) * 2.2)
-    if jax.default_backend() != "cpu" and vmem_bytes < 14 * 1024 * 1024:
+    # Mosaic kernels are TPU-only ('axon' is a tunneled TPU plugin); GPU and
+    # other backends take the XLA path.
+    if jax.default_backend() in ("tpu", "axon") \
+            and vmem_bytes < 14 * 1024 * 1024:
         from respmon_tpu.ops.pyramid_pallas import laplacian_band_levels
 
         levels = laplacian_band_levels(vid, cfg.pyramid_levels, first)
@@ -84,6 +87,8 @@ def eulerian_magnification_bandpass(vid: jnp.ndarray, fps: float,
 
     # Bandpass the kept levels (skip top `skip_levels_at_top` and bottom 1)
     # with the configured temporal filter (transforms.py:146).
+    assert cfg.temporal_filter in ("fft", "iir"), \
+        f"temporal_filter must be 'fft' or 'iir', got {cfg.temporal_filter!r}"
     if cfg.temporal_filter == "fft":
         filt = lambda lvl: temporal_bandpass_fft(
             lvl, fps, cfg.freq_min, cfg.freq_max, cfg.amplification)

@@ -101,19 +101,38 @@ def init_state(spec: MeasureSpec, roi: Tuple[int, int, int, int],
     )
 
 
-def _crop_and_mask(frame: jnp.ndarray, roi: jnp.ndarray, spec: MeasureSpec):
-    """Bucketed ROI crop.  dynamic_slice clamps the start to fit, so the ROI
-    may sit at an offset inside the window; the mask accounts for it."""
+def _roi_window_mask(roi: jnp.ndarray, spec: MeasureSpec):
+    """Clamped window start + validity mask for a bucketed ROI crop.
+    dynamic_slice clamps the start to fit, so the ROI may sit at an offset
+    inside the window; the mask accounts for it."""
     x, y, w, h = roi[0], roi[1], roi[2], roi[3]
     sx = jnp.clip(x, 0, spec.frame_w - spec.crop_w)
     sy = jnp.clip(y, 0, spec.frame_h - spec.crop_h)
-    crop = jax.lax.dynamic_slice(frame, (sy, sx), (spec.crop_h, spec.crop_w))
     dx = x - sx
     dy = y - sy
     rows = jnp.arange(spec.crop_h)[:, None]
     cols = jnp.arange(spec.crop_w)[None, :]
     mask = (rows >= dy) & (rows < dy + h) & (cols >= dx) & (cols < dx + w)
-    return crop, mask, (dx, dy)
+    return (sy, sx), mask, (dx, dy)
+
+
+def _crop_and_mask(frame: jnp.ndarray, roi: jnp.ndarray, spec: MeasureSpec):
+    """Bucketed ROI crop of a single frame."""
+    (sy, sx), mask, offs = _roi_window_mask(roi, spec)
+    crop = jax.lax.dynamic_slice(frame, (sy, sx), (spec.crop_h, spec.crop_w))
+    return crop, mask, offs
+
+
+def crop_clip_and_mask(frames: jnp.ndarray, roi: jnp.ndarray,
+                       spec: MeasureSpec):
+    """Bucketed ROI crop of a whole (T, H, W) clip in ONE dynamic slice
+    (the ROI is fixed for the clip)."""
+    (sy, sx), mask, _ = _roi_window_mask(roi, spec)
+    zero = jnp.zeros((), sy.dtype)
+    crops = jax.lax.dynamic_slice(
+        frames, (zero, sy, sx),
+        (frames.shape[0], spec.crop_h, spec.crop_w))
+    return crops, mask
 
 
 def _to_u8_scale(img: jnp.ndarray) -> jnp.ndarray:
@@ -155,6 +174,40 @@ def measure_step(state: MeasureState, frame: jnp.ndarray,
     return new_state, sample
 
 
+def flow_update(fr, pts, valid, motion_xy, motion_count,
+                buffer_length: int, dtype):
+    """Shared post-LK bookkeeping (base.py:377-407): surviving-point
+    selection, mean (old - new) displacement, motion-ring push, PCA
+    projection, NaN on lost tracking.  Used by both the streaming step and
+    the whole-clip scan so the two paths cannot desynchronize.
+
+    Returns (sample, good_mask, motion_xy, motion_count, lost).
+    """
+    good = fr.status & valid
+    n_good = jnp.sum(good)
+    lost = n_good == 0   # -> NaN sample (base.py:373-386)
+
+    disp = pts - fr.pts  # old - new (base.py:388)
+    gw = good.astype(dtype)[:, None]
+    mean_disp = jnp.sum(disp * gw, axis=0) / \
+        jnp.maximum(n_good, 1).astype(dtype)
+
+    motion_xy = jnp.where(
+        lost, motion_xy,
+        jnp.concatenate([motion_xy[1:], mean_disp[None].astype(
+            motion_xy.dtype)], axis=0))
+    motion_count = jnp.where(
+        lost, motion_count, jnp.minimum(motion_count + 1, buffer_length))
+
+    # PCA projection of the newest sample once >= 2 motions buffered
+    # (base.py:396-407); before that the sample is 0.0.
+    mmask = jnp.arange(buffer_length) >= (buffer_length - motion_count)
+    proj = pca.pca_project_last(motion_xy, mmask)
+    sample = jnp.where(motion_count >= 2, proj, 0.0)
+    sample = jnp.where(lost, jnp.nan, sample).astype(dtype)
+    return sample, good, motion_xy, motion_count, lost
+
+
 def _flow_motion(state: MeasureState, crop, mask, spec: MeasureSpec):
     crop_u8 = _to_u8_scale(jnp.where(mask, crop, 0.0))
 
@@ -176,28 +229,9 @@ def _flow_motion(state: MeasureState, crop, mask, spec: MeasureSpec):
             state.pts, state.pts_valid,
             win=spec.lk.win_size[0], max_level=spec.lk.max_level,
             max_iters=spec.lk.max_iters, eps=spec.lk.epsilon)
-        good = fr.status & state.pts_valid
-        n_good = jnp.sum(good)
-        lost = n_good == 0   # -> NaN sample (base.py:373-386)
-
-        disp = (state.pts - fr.pts)  # old - new (base.py:388)
-        gw = good.astype(crop.dtype)[:, None]
-        mean_disp = jnp.sum(disp * gw, axis=0) / \
-            jnp.maximum(n_good, 1).astype(crop.dtype)
-
-        motion_xy = jnp.where(lost, state.motion_xy,
-                              _push(state.motion_xy, mean_disp))
-        motion_count = jnp.where(
-            lost, state.motion_count,
-            jnp.minimum(state.motion_count + 1, spec.buffer_length))
-
-        # PCA projection of the newest sample once >= 2 motions buffered
-        # (base.py:396-407); before that the sample is 0.0.
-        mmask = jnp.arange(spec.buffer_length) >= \
-            (spec.buffer_length - motion_count)
-        proj = pca.pca_project_last(motion_xy, mmask)
-        sample = jnp.where(motion_count >= 2, proj, 0.0)
-        sample = jnp.where(lost, jnp.nan, sample).astype(crop.dtype)
+        sample, good, motion_xy, motion_count, lost = flow_update(
+            fr, state.pts, state.pts_valid, state.motion_xy,
+            state.motion_count, spec.buffer_length, crop.dtype)
 
         new = state._replace(
             prev_crop=crop_u8.astype(state.prev_crop.dtype),

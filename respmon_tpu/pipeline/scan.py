@@ -49,7 +49,11 @@ def bpm_trace(samples: jnp.ndarray, fps: float,
     right-aligned ring windows and ``vmap`` the BPM stage over rows.  On
     TPU this replaces T sequential trust-region LM solves with one batched
     solve whose while_loop runs to the slowest lane — orders of magnitude
-    less sequential depth, bit-identical per-frame results.
+    less sequential depth.
+
+    Results match the streaming monitor to float tolerance, not bit-exactly:
+    the t axis here is ``arange(T)/fps`` while the monitor accumulates
+    ``t[-1] + 1/fps`` (float32 accumulation drifts slightly on long clips).
     """
     t_len = samples.shape[0]
     n = cfg.buffer_length
@@ -68,24 +72,6 @@ def bpm_trace(samples: jnp.ndarray, fps: float,
     return bpm, has
 
 
-def _clip_crops(frames: jnp.ndarray, roi: jnp.ndarray,
-                spec: motion.MeasureSpec):
-    """Crop all frames to the bucketed ROI window in ONE dynamic slice
-    (the ROI is fixed for the whole clip) + validity mask."""
-    t_len = frames.shape[0]
-    x, y, w, h = roi[0], roi[1], roi[2], roi[3]
-    sx = jnp.clip(x, 0, spec.frame_w - spec.crop_w)
-    sy = jnp.clip(y, 0, spec.frame_h - spec.crop_h)
-    crops = jax.lax.dynamic_slice(
-        frames, (0, sy, sx), (t_len, spec.crop_h, spec.crop_w))
-    dx = x - sx
-    dy = y - sy
-    rows = jnp.arange(spec.crop_h)[:, None]
-    cols = jnp.arange(spec.crop_w)[None, :]
-    mask = (rows >= dy) & (rows < dy + h) & (cols >= dx) & (cols < dx + w)
-    return crops, mask
-
-
 def _flow_samples_clip(crops: jnp.ndarray, mask: jnp.ndarray,
                        spec: motion.MeasureSpec):
     """Flow-mode motion samples for a whole clip.
@@ -95,8 +81,14 @@ def _flow_samples_clip(crops: jnp.ndarray, mask: jnp.ndarray,
     clips are known upfront, so none of it needs to live on the sequential
     path.  The scan then carries only the tiny tracking state (points,
     masks, motion ring) and does window slices + Newton iterations.
+
+    Error semantics: this is ONE calibrate→measure episode.  Once tracking
+    is lost, samples stay NaN for the remainder (no corner re-detection) —
+    the per-frame ``error`` flags surface where the streaming monitor would
+    have entered its error state and recalibrated; callers wanting recovery
+    should re-run ``process_clip`` from the loss point.
     """
-    from respmon_tpu.ops import corners, lk, pca
+    from respmon_tpu.ops import corners, lk
 
     t_len = crops.shape[0]
     n_ring = spec.buffer_length
@@ -104,7 +96,7 @@ def _flow_samples_clip(crops: jnp.ndarray, mask: jnp.ndarray,
     max_level = spec.lk.max_level
     dtype = crops.dtype
 
-    crops_u8 = jnp.trunc(jnp.where(mask, crops, 0.0) * 255.0)
+    crops_u8 = motion._to_u8_scale(jnp.where(mask, crops, 0.0))
 
     inputs = jax.vmap(
         lambda c: lk.precompute_frame_inputs(c, win, max_level))(crops_u8)
@@ -130,26 +122,8 @@ def _flow_samples_clip(crops: jnp.ndarray, mask: jnp.ndarray,
         fr = lk.lk_track_precomputed(
             prev_in, next_in, pts, valid, shapes, wprimes, win, max_level,
             spec.lk.max_iters, spec.lk.epsilon)
-        good = fr.status & valid
-        n_good = jnp.sum(good)
-        lost = n_good == 0
-
-        disp = pts - fr.pts                      # old - new (base.py:388)
-        gw = good.astype(dtype)[:, None]
-        mean_disp = jnp.sum(disp * gw, axis=0) / \
-            jnp.maximum(n_good, 1).astype(dtype)
-
-        motion_xy = jnp.where(
-            lost, motion_xy,
-            jnp.concatenate([motion_xy[1:], mean_disp[None]], axis=0))
-        motion_count = jnp.where(
-            lost, motion_count, jnp.minimum(motion_count + 1, n_ring))
-
-        mmask = jnp.arange(n_ring) >= (n_ring - motion_count)
-        proj = pca.pca_project_last(motion_xy, mmask)
-        sample = jnp.where(motion_count >= 2, proj, 0.0)
-        sample = jnp.where(lost, jnp.nan, sample).astype(dtype)
-
+        sample, good, motion_xy, motion_count, lost = motion.flow_update(
+            fr, pts, valid, motion_xy, motion_count, n_ring, dtype)
         return (fr.pts, good, motion_xy, motion_count), (sample, lost)
 
     carry0 = (cs.pts, cs.valid,
@@ -184,7 +158,7 @@ def measure_clip(frames: jnp.ndarray, roi: jnp.ndarray,
     t_len = frames.shape[0]
     dtype = frames.dtype
     n_ring = spec.buffer_length
-    crops, mask = _clip_crops(frames, roi, spec)
+    crops, mask = motion.crop_clip_and_mask(frames, roi, spec)
 
     if spec.method == "average":
         msum = jnp.sum(jnp.where(mask, crops, 0.0), axis=(1, 2))
@@ -223,6 +197,10 @@ class ClipRunResult(NamedTuple):
     roi: Optional[Tuple[int, int, int, int]]
     measure: Optional[ClipMeasureResult]
     final_bpm: Optional[float]
+    # First measured frame where the streaming monitor would have entered
+    # its error state (lost tracking / no keypoints), or None.  The clip
+    # path does NOT recalibrate mid-clip; samples after this frame are NaN.
+    error_frame: Optional[int] = None
 
 
 def process_clip(frames: np.ndarray, fps: float, cfg: MonitorConfig,
@@ -230,7 +208,11 @@ def process_clip(frames: np.ndarray, fps: float, cfg: MonitorConfig,
                  estimate_every_frame: bool = True) -> ClipRunResult:
     """Calibrate on the first buffer_length frames, then scan-measure the
     rest.  Two device dispatches total (the ROI's bucketed crop shape is a
-    static compile parameter, so locate's result crosses the host once)."""
+    static compile parameter, so locate's result crosses the host once).
+
+    This is ONE calibrate→measure episode: unlike the streaming monitor it
+    does not recalibrate after tracking loss — ``error_frame`` reports where
+    that would have happened so callers can resume from there."""
     cal_len = cfg.calibration.buffer_length
     assert frames.shape[0] > cal_len + 2, "clip shorter than calibration"
     # Frame 0 is consumed by the monitor's 'initialize' state before
@@ -265,5 +247,7 @@ def process_clip(frames: np.ndarray, fps: float, cfg: MonitorConfig,
 
     has = np.asarray(res.has_bpm)
     final_bpm = float(np.asarray(res.bpm)[has][-1]) if has.any() else None
+    errs = np.asarray(res.error)
+    error_frame = int(np.argmax(errs)) if errs.any() else None
     return ClipRunResult(found=True, roi=(x, y, w, h), measure=res,
-                         final_bpm=final_bpm)
+                         final_bpm=final_bpm, error_frame=error_frame)
