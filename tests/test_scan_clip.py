@@ -80,3 +80,23 @@ def test_process_clip_not_found():
         buffer_length=32, pyramid_levels=4, skip_levels_at_top=1))
     res = scan.process_clip(vid, FPS, cfg)
     assert not res.found and res.final_bpm is None
+
+
+def test_process_clip_reports_error_frame():
+    # Tracking loss mid-clip: the clip path surfaces where the streaming
+    # monitor would have entered its error state.
+    good = breathing_clip(num_frames=64 + 2 + 40, height=120, width=160,
+                          fps=FPS, bpm=18.0, patch_center=(60, 80),
+                          patch_size=(30, 40), amplitude=0.12, motion_px=2.0)
+    black = np.zeros((20, 120, 160), np.float32)
+    frames = np.concatenate([good, black])
+    cfg = MonitorConfig(motion_extraction_method="flow", calibration=CAL)
+    res = scan.process_clip(frames, FPS, cfg)
+    assert res.found
+    assert res.error_frame is not None
+    # The loss happens once the black frames reach measurement (40 good
+    # measured frames precede them).
+    assert 35 <= res.error_frame <= 45
+    # Samples after the loss are NaN (single-episode semantics).
+    samples = np.asarray(res.measure.samples)
+    assert np.isnan(samples[res.error_frame:]).all()
