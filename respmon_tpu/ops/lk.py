@@ -213,8 +213,23 @@ def _track_level(lp: _LevelPatches, prev_pts, next_pts, status, level, win,
 
     n = prev_pts.shape[0]
     skip = out_prev | bad_g
-    init = (next_pts, jnp.zeros((n, 2), dtype), skip, jnp.zeros((n,), bool))
-    pts_fin, _, _, lost = jax.lax.fori_loop(0, max_iters, iter_body, init)
+    init = (jnp.asarray(0, jnp.int32), next_pts, jnp.zeros((n, 2), dtype),
+            skip, jnp.zeros((n,), bool))
+
+    def w_cond(carry):
+        j, _, _, done, lost = carry
+        # Early exit once every point converged/lost — the body freezes
+        # finished points anyway, so this is bit-identical to running all
+        # max_iters (typical small inter-frame motion converges in 2-4).
+        return (j < max_iters) & jnp.any(~(done | lost))
+
+    def w_body(carry):
+        j, pts, prev_delta, done, lost = carry
+        pts, prev_delta, done, lost = iter_body(
+            j, (pts, prev_delta, done, lost))
+        return j + 1, pts, prev_delta, done, lost
+
+    _, pts_fin, _, _, lost = jax.lax.while_loop(w_cond, w_body, init)
 
     # Status drops only at level 0 (cv2 `if level == 0` convention).
     is_level0 = level == 0
