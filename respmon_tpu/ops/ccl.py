@@ -12,12 +12,21 @@ a ``while_loop`` runs neighbor-min + label-gather rounds to a fixed point in
 O(log diameter) rounds.  Component areas come from a one-hot segment-sum and
 the bbox from masked row/column reductions.
 
-Area semantics: ``cv2.contourArea`` is the *polygon* area of the outer
-boundary (Pick's theorem: pixels - boundary/2 - 1 for simple shapes), not the
-pixel count.  We select the largest component by a Pick-style estimate
-``N - B/2 - 1`` (B = component pixels with a non-component 8-neighbor or on
-the image border) which matches cv2's ranking on blob-like heatmaps; ties and
-degenerate thin-structure orderings can differ (documented divergence).
+Area semantics: ``cv2.contourArea`` is the Green's-theorem *polygon* area of
+the outer (Suzuki) contour traced through pixel centers — NOT the pixel
+count.  That area decomposes exactly over the dual lattice (the unit cells
+between 2x2 pixel-center quads): a cell with all 4 pixels in the (hole-
+filled) component lies fully inside the contour (+1), a cell with exactly 3
+is cut diagonally by the 8-connected contour (+1/2), and cells with <= 2
+contribute 0 (thin runs traced out-and-back enclose nothing).  Holes are
+filled first because ``RETR_EXTERNAL`` only sees outer contours, so cv2's
+area *includes* enclosed holes (and components nested inside another
+component's hole are never candidates).  This reproduces cv2's ranking
+exactly, including the thin-structure and donut cases where the naive
+pixel-count or Pick estimates flip the winner (tests/test_ccl.py).
+Tie-break: labels are each component's smallest flat index, so ``argmax``
+prefers the raster-first component — matching ``max(contours, key=...)``
+over findContours' scan order.
 """
 
 from __future__ import annotations
@@ -45,6 +54,17 @@ def _neighbor_min(lab: jnp.ndarray, big: int) -> jnp.ndarray:
         p[0:h, 0:w], p[0:h, 1:w + 1], p[0:h, 2:w + 2],
         p[1:h + 1, 0:w], p[1:h + 1, 2:w + 2],
         p[2:h + 2, 0:w], p[2:h + 2, 1:w + 1], p[2:h + 2, 2:w + 2],
+    ])
+    return jnp.minimum(lab, jnp.min(stack, axis=0))
+
+
+def _neighbor_min4(lab: jnp.ndarray, big: int) -> jnp.ndarray:
+    """Min label over the 4-neighborhood (out-of-image = big)."""
+    h, w = lab.shape
+    p = jnp.pad(lab, 1, constant_values=big)
+    stack = jnp.stack([
+        p[0:h, 1:w + 1], p[2:h + 2, 1:w + 1],
+        p[1:h + 1, 0:w], p[1:h + 1, 2:w + 2],
     ])
     return jnp.minimum(lab, jnp.min(stack, axis=0))
 
@@ -100,35 +120,71 @@ def label_components(fg: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def outside_mask(bg: jnp.ndarray) -> jnp.ndarray:
+    """Background pixels 4-connected to the image border.
+
+    8-connected foreground implies 4-connected background (a diagonal fg
+    pinch seals the contour), so hole detection must flood with 4-conn
+    moves.  Same sweep structure as label_components but propagating a
+    single 0 = outside / 1 = unknown flag (fg pixels are barriers)."""
+    h, w = bg.shape
+    border = jnp.zeros((h, w), bool)
+    border = border.at[0, :].set(True).at[h - 1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, w - 1].set(True)
+    val = jnp.where(bg, jnp.where(border, 0, 1), 2)
+
+    def body(state):
+        v, _ = state
+        nv = _neighbor_min4(v, 2)
+        nv = jnp.where(bg, nv, 2)
+        nv = _segmented_min_scan(nv, bg, 1, 2)
+        nv = _segmented_min_scan(nv, bg, 0, 2)
+        return nv, jnp.any(nv != v)
+
+    val, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                (val, jnp.asarray(True)))
+    return bg & (val == 0)
+
+
+@jax.jit
+def fill_holes(fg: jnp.ndarray) -> jnp.ndarray:
+    """fg with enclosed background regions filled (RETR_EXTERNAL's view:
+    only outer contours exist, so holes — and anything nested inside them —
+    belong to the enclosing component)."""
+    return fg | ~outside_mask(~fg)
+
+
+@jax.jit
 def largest_component_bbox(fg: jnp.ndarray) -> BBoxResult:
-    """Bounding box (x, y, w, h) of the largest 8-connected component of a
-    binary image, cv2-convention (x: column, y: row, inclusive extent)."""
+    """Bounding box (x, y, w, h) of the component with the largest
+    cv2.contourArea-equivalent outer-contour area, cv2-convention
+    (x: column, y: row, inclusive extent).  See module docstring for the
+    exact-area construction (hole fill + per-dual-cell decomposition)."""
     h, w = fg.shape
     big = h * w
-    lab = label_components(fg)
+    filled = fill_holes(fg)
+    lab = label_components(filled)
     flat = lab.reshape(-1)
 
-    ones = fg.reshape(-1).astype(jnp.float32)
-    counts = jax.ops.segment_sum(ones, flat, num_segments=big + 1)
+    npix = jax.ops.segment_sum(filled.reshape(-1).astype(jnp.float32),
+                               flat, num_segments=big + 1)
 
-    # Boundary pixels: any 8-neighbor outside the component (or image edge).
-    pfg = jnp.pad(fg, 1, constant_values=False)
-    nb_all_fg = jnp.stack([
-        pfg[0:h, 0:w], pfg[0:h, 1:w + 1], pfg[0:h, 2:w + 2],
-        pfg[1:h + 1, 0:w], pfg[1:h + 1, 2:w + 2],
-        pfg[2:h + 2, 0:w], pfg[2:h + 2, 1:w + 1], pfg[2:h + 2, 2:w + 2],
-    ]).all(axis=0)
-    boundary = fg & ~nb_all_fg
-    bcounts = jax.ops.segment_sum(boundary.reshape(-1).astype(jnp.float32),
-                                  flat, num_segments=big + 1)
-
-    # cv2.contourArea ranking estimate (Pick): N - B/2 - 1.
-    areas = counts - 0.5 * bcounts - 1.0
-    areas = areas.at[big].set(-jnp.inf)          # background
-    areas = jnp.where(counts > 0, areas, -jnp.inf)
+    # Marching-squares decomposition of the Suzuki outer-contour area:
+    # per 2x2 pixel-center quad, 4 filled -> 1, 3 filled -> 1/2, else 0.
+    fi = filled.astype(jnp.int32)
+    q = fi[:-1, :-1] + fi[:-1, 1:] + fi[1:, :-1] + fi[1:, 1:]
+    cell = jnp.where(q == 4, 1.0, jnp.where(q == 3, 0.5, 0.0))
+    # With >= 3 filled pixels the quad is single-component; background
+    # labels are `big`, so the min is the owning component's label.
+    cl = jnp.minimum(jnp.minimum(lab[:-1, :-1], lab[:-1, 1:]),
+                     jnp.minimum(lab[1:, :-1], lab[1:, 1:]))
+    areas = jax.ops.segment_sum(cell.reshape(-1), cl.reshape(-1),
+                                num_segments=big + 1)
+    areas = areas.at[big].set(-jnp.inf)             # background
+    areas = jnp.where(npix > 0, areas, -jnp.inf)    # non-existent labels
     best = jnp.argmax(areas)
 
-    sel = (lab == best) & fg
+    sel = (lab == best) & filled
     rows = jnp.any(sel, axis=1)
     cols = jnp.any(sel, axis=0)
     ridx = jnp.arange(h)

@@ -59,18 +59,43 @@ def _box_sum(x: jnp.ndarray, size: int) -> jnp.ndarray:
     return _conv1d(_conv1d(x, x.ndim - 2, ones), x.ndim - 1, ones)
 
 
-def min_eigenval_map(img: jnp.ndarray, block_size: int = 7) -> jnp.ndarray:
-    """cv2.cornerMinEigenVal response map (unscaled)."""
+def min_eigenval_map(img: jnp.ndarray, block_size: int = 7,
+                     remap=None) -> jnp.ndarray:
+    """cv2.cornerMinEigenVal response map (unscaled).
+
+    ``remap=(rows, cols)`` restricts the computation to a virtual subimage:
+    the index maps reflect out-of-ROI positions back inside (REFLECT_101 at
+    the ROI edges).  cv2 pads per stage — the image for the Sobel pass AND
+    the gradient maps for the box pass — so the remap is applied both to
+    the image and to the gradients (reflecting only the image would bake
+    sign-flipped x-gradients into the box sums at the right/left ROI edge).
+    """
+    def rmap(x):
+        return x if remap is None else x[remap[0]][:, remap[1]]
+
+    img = rmap(img)
     ix = _conv1d(_conv1d(img, img.ndim - 1, (-1.0, 0.0, 1.0)),
                  img.ndim - 2, (1.0, 2.0, 1.0))
     iy = _conv1d(_conv1d(img, img.ndim - 2, (-1.0, 0.0, 1.0)),
                  img.ndim - 1, (1.0, 2.0, 1.0))
+    ix = rmap(ix)
+    iy = rmap(iy)
     sxx = _box_sum(ix * ix, block_size)
     syy = _box_sum(iy * iy, block_size)
     sxy = _box_sum(ix * iy, block_size)
     a = 0.5 * sxx
     c = 0.5 * syy
     return (a + c) - jnp.sqrt((a - c) * (a - c) + sxy * sxy)
+
+
+def _reflect101_idx(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """BORDER_REFLECT_101 index map for offsets ``i`` into a length-``n``
+    axis (n dynamic).  The mod-period formula IS cv2's iterated reflection,
+    so it is exact even when the stencil radius exceeds n."""
+    period = jnp.maximum(2 * n - 2, 1)
+    m = jnp.abs(i) % period
+    idx = jnp.where(m < n, m, period - m)
+    return jnp.where(n <= 1, 0, idx)
 
 
 def _dilate3(x: jnp.ndarray) -> jnp.ndarray:
@@ -90,20 +115,41 @@ def good_features_to_track(img: jnp.ndarray, max_corners: int = 100,
                            roi_mask: jnp.ndarray | None = None) -> CornerSet:
     """Masked fixed-size corner set on a single (H, W) float image.
 
-    ``roi_mask`` optionally restricts detection (for bucketed ROI crops where
-    only ``[0:h, 0:w]`` of a padded window is real).
+    ``roi_mask`` optionally restricts detection to a rectangular ROI inside
+    a bucketed window (production path: pipeline/motion.py crops a padded
+    window and the real ROI may sit at an offset inside it).  cv2 operates
+    on the exact cropped subimage (base.py:365-366), so for parity the
+    window's out-of-ROI pixels are remapped to the ROI's REFLECT_101
+    virtual border before the response stencil, and the ROI's own 1-pixel
+    border is excluded — the resulting corner set equals
+    ``cv2.goodFeaturesToTrack(frame[y:y+h, x:x+w], ...)`` shifted by the
+    ROI offset (tests/test_corners_lk.py).
     """
     h, w = img.shape
-    eig = min_eigenval_map(img, block_size)
+    if roi_mask is not None:
+        row_any = jnp.any(roi_mask, axis=1)
+        col_any = jnp.any(roi_mask, axis=0)
+        dy = jnp.argmax(row_any).astype(jnp.int32)
+        dx = jnp.argmax(col_any).astype(jnp.int32)
+        rh = jnp.sum(row_any).astype(jnp.int32)
+        rw = jnp.sum(col_any).astype(jnp.int32)
+        rr = jnp.clip(_reflect101_idx(jnp.arange(h) - dy, rh) + dy, 0, h - 1)
+        cc = jnp.clip(_reflect101_idx(jnp.arange(w) - dx, rw) + dx, 0, w - 1)
+        eig = min_eigenval_map(img, block_size, remap=(rr, cc))
+    else:
+        eig = min_eigenval_map(img, block_size)
     if roi_mask is not None:
         eig = jnp.where(roi_mask, eig, -jnp.inf)
 
-    interior = jnp.zeros((h, w), bool).at[1:h - 1, 1:w - 1].set(True)
+    rows2 = jnp.arange(h)[:, None]
+    cols2 = jnp.arange(w)[None, :]
     if roi_mask is not None:
-        # cv2 operates on the cropped image, so its border exclusion applies
-        # to the ROI extent, not the padded buffer; approximate by also
-        # excluding pixels whose 3x3 neighborhood leaves the mask.
-        interior = interior & roi_mask
+        # cv2's border exclusion applies to the subimage extent.
+        interior = ((rows2 >= dy + 1) & (rows2 < dy + rh - 1) &
+                    (cols2 >= dx + 1) & (cols2 < dx + rw - 1))
+    else:
+        interior = ((rows2 >= 1) & (rows2 < h - 1) &
+                    (cols2 >= 1) & (cols2 < w - 1))
 
     maxval = jnp.max(jnp.where(jnp.isfinite(eig), eig, -jnp.inf))
     thresh = quality_level * maxval

@@ -37,6 +37,38 @@ def test_corner_sets_match_cv2(seed):
     assert got_set == want_set
 
 
+@pytest.mark.parametrize("offset", [(0, 0), (5, 3), (13, 9), (0, 17),
+                                    (24, 0)])
+def test_masked_roi_corners_match_cv2_on_subimage(offset):
+    # The production path (pipeline/motion.py) detects corners inside a
+    # bucketed window where the real ROI sits at an offset and out-of-ROI
+    # pixels are zeroed.  cv2 runs on the exact cropped subimage
+    # (reference base.py:365-366), so the detected set must equal cv2's,
+    # shifted by the ROI offset.
+    dy, dx = offset
+    crop_h, crop_w = 64, 80
+    roi_h, roi_w = 40, 48
+    assert dy + roi_h <= crop_h and dx + roi_w <= crop_w
+    u8 = _texture(7, h=crop_h, w=crop_w)
+
+    sub = u8[dy:dy + roi_h, dx:dx + roi_w]
+    want = cv2.goodFeaturesToTrack(sub, **GF_KW)
+    want_set = set() if want is None else \
+        {(int(p[0][0]) + dx, int(p[0][1]) + dy) for p in want}
+    assert want_set, "fixture produced no corners — test is vacuous"
+
+    rows = np.arange(crop_h)[:, None]
+    cols = np.arange(crop_w)[None, :]
+    mask = ((rows >= dy) & (rows < dy + roi_h) &
+            (cols >= dx) & (cols < dx + roi_w))
+    window = np.where(mask, u8.astype(np.float32), 0.0)  # production zeroing
+    got = corners_mod.good_features_to_track(
+        jnp.asarray(window), roi_mask=jnp.asarray(mask))
+    got_set = {(int(x), int(y))
+               for x, y in np.asarray(got.pts)[np.asarray(got.valid)]}
+    assert got_set == want_set
+
+
 def test_corner_empty_on_flat_image():
     got = corners_mod.good_features_to_track(
         jnp.full((32, 32), 128.0, jnp.float32))
