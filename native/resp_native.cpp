@@ -68,6 +68,7 @@ struct FrameRing {
     int64_t* seqs;           // per-slot sequence number
     std::atomic<int64_t> head;  // next sequence to write
     std::atomic<int64_t> tail;  // oldest unread sequence
+    std::atomic<int64_t> dropped;  // frames pushed but never delivered
 };
 
 FrameRing* ring_create(int64_t capacity, int64_t frame_floats) {
@@ -85,6 +86,7 @@ FrameRing* ring_create(int64_t capacity, int64_t frame_floats) {
     }
     r->head.store(0);
     r->tail.store(0);
+    r->dropped.store(0);
     return r;
 }
 
@@ -107,7 +109,9 @@ int64_t ring_push(FrameRing* r, const float* frame) {
     // Advance tail if we just overwrote the oldest unread slot.
     int64_t tail = r->tail.load(std::memory_order_relaxed);
     if (seq + 1 - tail > r->capacity) {
-        r->tail.store(seq + 1 - r->capacity, std::memory_order_release);
+        const int64_t new_tail = seq + 1 - r->capacity;
+        r->tail.store(new_tail, std::memory_order_release);
+        r->dropped.fetch_add(new_tail - tail, std::memory_order_relaxed);
     }
     return seq;
 }
@@ -147,6 +151,9 @@ int64_t ring_pop_latest(FrameRing* r, float* out) {
     std::memcpy(out, r->slots + slot * r->frame_floats,
                 sizeof(float) * r->frame_floats);
     r->tail.store(head, std::memory_order_release);
+    if (seq > tail) {  // older unread frames were skipped, not delivered
+        r->dropped.fetch_add(seq - tail, std::memory_order_relaxed);
+    }
     return seq;
 }
 
@@ -158,11 +165,9 @@ int64_t ring_size(const FrameRing* r) {
 }
 
 int64_t ring_dropped(const FrameRing* r) {
-    // Frames overwritten before being read.
-    const int64_t head = r->head.load(std::memory_order_acquire);
-    const int64_t tail = r->tail.load(std::memory_order_acquire);
-    const int64_t backlog = head - tail;
-    return backlog > r->capacity ? backlog - r->capacity : 0;
+    // Cumulative count of frames pushed but never delivered to the
+    // consumer: overwritten-while-unread plus skipped by pop_latest.
+    return r->dropped.load(std::memory_order_acquire);
 }
 
 }  // extern "C"

@@ -110,6 +110,7 @@ class FrameRing:
             self._seqs = np.zeros(capacity, np.int64)
             self._head = 0
             self._tail = 0
+            self._dropped = 0
             self._lock = threading.Lock()
 
     def push(self, frame: np.ndarray) -> int:
@@ -123,7 +124,9 @@ class FrameRing:
             self._seqs[slot] = seq
             self._head = seq + 1
             if self._head - self._tail > self.capacity:
-                self._tail = self._head - self.capacity
+                new_tail = self._head - self.capacity
+                self._dropped += new_tail - self._tail
+                self._tail = new_tail
             return seq
 
     def _pop(self, latest: bool):
@@ -137,6 +140,8 @@ class FrameRing:
                     return None, -1
                 seq = (self._head - 1) if latest else self._tail
                 out[:] = self._slots[seq % self.capacity]
+                if latest and seq > self._tail:
+                    self._dropped += seq - self._tail
                 self._tail = self._head if latest else self._tail + 1
         if seq < 0:
             return None, -1
@@ -155,6 +160,15 @@ class FrameRing:
             return int(self._lib.ring_size(self._ptr))
         with self._lock:
             return min(self._head - self._tail, self.capacity)
+
+    @property
+    def dropped(self) -> int:
+        """Cumulative frames pushed but never delivered (overwritten while
+        unread, or skipped over by pop_latest)."""
+        if self._lib is not None:
+            return int(self._lib.ring_dropped(self._ptr))
+        with self._lock:
+            return self._dropped
 
     def __del__(self):  # pragma: no cover
         lib = getattr(self, "_lib", None)

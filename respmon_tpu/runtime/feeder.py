@@ -75,6 +75,11 @@ class FrameFeeder:
     def ended(self) -> bool:
         return self._ended.is_set() and len(self.ring) == 0
 
+    @property
+    def dropped(self) -> int:
+        """Cumulative frames captured but never delivered to the consumer."""
+        return self.ring.dropped
+
     def stop(self) -> None:
         self._stop.set()
         if self._thread is not None:

@@ -42,7 +42,8 @@ import numpy as np
 
 from respmon_tpu.config import (CalibrationConfig, MeasureConfig,
                                 MonitorConfig)
-from respmon_tpu.io.capture import CaptureSource, open_capture
+from respmon_tpu.io.capture import (CaptureSource, OpenCVCapture,
+                                    open_capture)
 from respmon_tpu.io.recorder import SessionRecorder
 from respmon_tpu.ops import filters
 from respmon_tpu.pipeline import bpm as bpm_mod
@@ -76,7 +77,10 @@ class RespiratoryMonitor:
                  config: Optional[MonitorConfig] = None,
                  capture: Optional[CaptureSource] = None,
                  auto_run: bool = True, sync_fps: bool = True,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 use_feeder: Optional[bool] = None,
+                 feeder_capacity: int = 4,
+                 feeder_latest: Optional[bool] = None):
         cfg = config or MonitorConfig()
         cfg = MonitorConfig(
             fps_limit=fps_limit, error_reset_delay=error_reset_delay,
@@ -103,6 +107,23 @@ class RespiratoryMonitor:
         self.fps = self.cap.fps
         self.width = self.cap.width
         self.height = self.cap.height
+
+        # Double-buffered host→HBM feed (SURVEY §7.6): a capture thread
+        # decodes into the native SPSC ring so the blocking read the
+        # reference pays every frame (base.py:416-421) overlaps the device
+        # step.  Default ON for OpenCV sources (live path); injected array
+        # captures keep direct synchronous replay for deterministic tests.
+        if use_feeder is None:
+            use_feeder = isinstance(self.cap, OpenCVCapture)
+        self.use_feeder = bool(use_feeder)
+        self.feeder_capacity = int(feeder_capacity)
+        if feeder_latest is None:
+            # Webcams want the freshest frame; file/array replay preserves
+            # every frame in order (FIFO) so accounting matches offline.
+            feeder_latest = isinstance(capture_target, int)
+        self.feeder_latest = bool(feeder_latest)
+        self._feeder = None
+        self.frames_dropped = 0
 
         cal = cfg.calibration
         self.calibration_buffer_target_length = cal.buffer_length
@@ -172,6 +193,7 @@ class RespiratoryMonitor:
         logger.info("Capture closed.")
         if self.freq:
             logger.info("Final BPM estimate: {0:.2f}".format(self.freq[-1]))
+        self.stop_feeder()
         self.cap.release()
         if self.config.save_all_data and self._recorder is not None:
             self._recorder.all_data = self.all_data
@@ -182,7 +204,7 @@ class RespiratoryMonitor:
         self.loop_start_time = time.time()
 
         self.benchmarker.tick_start("Frame Capture")
-        frame = self.cap.next_frame()
+        frame = self._next_frame()
         if frame is None:
             return False
         self.current_frame = frame
@@ -209,6 +231,39 @@ class RespiratoryMonitor:
             self.sync_to_fps()
         self.frames_processed += 1
         return True
+
+    def _next_frame(self):
+        """Pull the next frame: directly from the capture, or — on the live
+        path — from the double-buffered feeder ring so decode overlaps the
+        device step.  Surfaces the cumulative dropped-frame count."""
+        if not self.use_feeder:
+            return self.cap.next_frame()
+        if self._feeder is None:
+            from respmon_tpu.runtime.feeder import FrameFeeder
+
+            # Webcams self-pace (blocking read at camera rate); file/array
+            # replay is paced at source fps to emulate live ingest instead
+            # of instantly draining the clip into the drop-oldest ring.
+            pace = None
+            if not isinstance(self.capture_target, int):
+                pace = (self.config.fps_limit if math.isnan(self.fps)
+                        else float(self.fps))
+            self._feeder = FrameFeeder(
+                self.cap, capacity=self.feeder_capacity,
+                fps_limit=pace).start()
+        frame, _seq = self._feeder.next_frame(latest=self.feeder_latest)
+        dropped = self._feeder.dropped
+        if dropped > self.frames_dropped:
+            logger.warning("Feeder dropped %d frame(s) total "
+                           "(slow consumer).", dropped)
+        self.frames_dropped = dropped
+        return frame
+
+    def stop_feeder(self):
+        if self._feeder is not None:
+            self.frames_dropped = self._feeder.dropped
+            self._feeder.stop()
+            self._feeder = None
 
     def trigger_error(self, msg=""):
         self.state = "error"

@@ -52,6 +52,26 @@ def test_ring_drop_oldest_when_full():
     assert seq == 4 and f[0] == 4.0
 
 
+@pytest.mark.parametrize("backend", ["auto", "numpy"])
+def test_ring_dropped_counts(backend, monkeypatch):
+    if backend == "numpy":
+        import respmon_tpu.io.native as native_mod
+        monkeypatch.setattr(native_mod, "load_native", lambda: None)
+    ring = FrameRing(2, (1,))
+    assert ring.dropped == 0
+    for i in range(5):
+        ring.push(np.asarray([float(i)]))
+    # pushes 2,3,4 each overwrote an unread slot
+    assert ring.dropped == 3
+    f, seq = ring.pop_latest()  # delivers 4, skips unread 3
+    assert seq == 4
+    assert ring.dropped == 4
+    ring.push(np.asarray([5.0]))
+    f, seq = ring.pop()  # FIFO delivery drops nothing
+    assert seq == 5
+    assert ring.dropped == 4
+
+
 def test_ring_concurrent_producer_consumer():
     # SPSC stress: every consumed frame's content must match its sequence
     # stamp (no torn frames), sequences strictly increase.
