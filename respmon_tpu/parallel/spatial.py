@@ -13,7 +13,7 @@ phases align across shards (global output 2j maps to local output j).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -34,18 +34,12 @@ def _local_down_w(xp: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def pyr_down_w_sharded(x: jnp.ndarray, mesh: Mesh,
-                       axis: str = "space") -> jnp.ndarray:
-    """cv2-exact pyrDown of (..., H, W) with W sharded over ``mesh[axis]``.
-
-    Requires W % (2 * mesh.shape[axis]) == 0.
-    """
-    n_shards = mesh.shape[axis]
-    w = x.shape[-1]
-    assert w % (2 * n_shards) == 0, \
-        f"width {w} must be divisible by 2*{n_shards}"
-
-    ndim = x.ndim
+@lru_cache(maxsize=64)
+def _make_pyr_down_w_sharded(mesh: Mesh, axis: str, ndim: int,
+                             n_shards: int):
+    """Build (once per (mesh, axis, ndim)) the jitted shard_map pyrDown —
+    cached so repeat calls reuse the compiled program instead of re-tracing
+    a fresh closure every invocation."""
     in_spec = P(*([None] * (ndim - 1) + [axis]))
     out_spec = in_spec
 
@@ -68,8 +62,22 @@ def pyr_down_w_sharded(x: jnp.ndarray, mesh: Mesh,
         rows_done = _down_axis(xp, ndim - 2)
         return _local_down_w(rows_done)
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(local, mesh=mesh, in_specs=(in_spec,),
                       out_specs=out_spec))
-    x = jax.device_put(x, NamedSharding(mesh, in_spec))
+
+
+def pyr_down_w_sharded(x: jnp.ndarray, mesh: Mesh,
+                       axis: str = "space") -> jnp.ndarray:
+    """cv2-exact pyrDown of (..., H, W) with W sharded over ``mesh[axis]``.
+
+    Requires W % (2 * mesh.shape[axis]) == 0.
+    """
+    n_shards = mesh.shape[axis]
+    w = x.shape[-1]
+    assert w % (2 * n_shards) == 0, \
+        f"width {w} must be divisible by 2*{n_shards}"
+    fn = _make_pyr_down_w_sharded(mesh, axis, x.ndim, n_shards)
+    x = jax.device_put(
+        x, NamedSharding(mesh, P(*([None] * (x.ndim - 1) + [axis]))))
     return fn(x)

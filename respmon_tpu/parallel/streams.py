@@ -15,7 +15,7 @@ over streams, rounded to the configured bucket size).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -98,6 +98,7 @@ def monitor_step_streams(states: motion.MeasureState, frames: jnp.ndarray,
     return _monitor_step_batched(states, frames, spec, coeffs, min_dist, cfg)
 
 
+@lru_cache(maxsize=64)
 def make_sharded_monitor_step(mesh: Mesh, spec: motion.MeasureSpec,
                               coeffs: filters.FilterCoeffs, min_dist: int,
                               cfg, axis: str = "streams"):
@@ -117,9 +118,14 @@ def make_sharded_monitor_step(mesh: Mesh, spec: motion.MeasureSpec,
                                  out_specs=p, check_vma=False))
 
 
+@lru_cache(maxsize=64)
 def make_sharded_locate(mesh: Mesh, fps: float, cfg,
                         axis: str = "streams"):
-    """shard_map-wrapped batched calibration (locate per local stream)."""
+    """shard_map-wrapped batched calibration (locate per local stream).
+
+    lru_cached on (mesh, fps, cfg, axis): repeated fleet
+    calibrate/recalibrate calls reuse the same jitted closure, so jax's
+    compile cache hits instead of re-tracing a fresh shard_map each time."""
     p = jax.sharding.PartitionSpec(axis)
 
     def local(buffers):

@@ -140,6 +140,44 @@ def test_recalibrate_subset_of_streams():
     assert np.asarray(res.samples).shape == (8,)
 
 
+def test_fleet_compiled_programs_are_cached():
+    # Repeated fleet calibrations/steps must NOT rebuild (and thus
+    # recompile) the shard_map closures: the factories are lru_cached so
+    # identical arguments return the identical jitted callable.
+    from respmon_tpu.ops import filters
+    from respmon_tpu.parallel.spatial import _make_pyr_down_w_sharded
+    from respmon_tpu.pipeline import motion
+
+    mesh = make_mesh(axis_names=("streams",))
+    cfg = SMALL_CFG
+    f1 = streams_mod.make_sharded_locate(mesh, FPS, cfg.calibration)
+    f2 = streams_mod.make_sharded_locate(mesh, FPS, cfg.calibration)
+    assert f1 is f2
+
+    spec = motion.MeasureSpec.for_roi(cfg, 60, 80, 20, 16, FPS)
+    coeffs = filters.design_butter_lowpass(0.5, FPS, 3)
+    s1 = streams_mod.make_sharded_monitor_step(mesh, spec, coeffs, 10,
+                                               cfg.measure)
+    s2 = streams_mod.make_sharded_monitor_step(mesh, spec, coeffs, 10,
+                                               cfg.measure)
+    assert s1 is s2
+
+    mesh_sp = make_mesh(axis_names=("space",))
+    p1 = _make_pyr_down_w_sharded(mesh_sp, "space", 2, 8)
+    p2 = _make_pyr_down_w_sharded(mesh_sp, "space", 2, 8)
+    assert p1 is p2
+
+    # End-to-end: two recalibrations on a live fleet reuse the cached
+    # locate program (the jit compile-cache keeps hitting).
+    clips = _stream_clips(8, 32)
+    mon = streams_mod.MultiStreamMonitor(cfg, mesh, (60, 80), FPS)
+    mon.calibrate(clips[:, :32])
+    misses0 = f1._cache_size()
+    mon.recalibrate(clips)
+    mon.recalibrate(clips)
+    assert f1._cache_size() == misses0, "recalibrate recompiled locate"
+
+
 def test_iir_temporal_filter_config():
     # The reference's pluggable temporal filter (transforms.py:146): the IIR
     # variant must localize the same synthetic patch.
