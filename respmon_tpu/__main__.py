@@ -57,7 +57,7 @@ def main(argv=None) -> int:
 
         from respmon_tpu.config import MonitorConfig
         from respmon_tpu.io.capture import OpenCVCapture
-        from respmon_tpu.pipeline.scan import process_clip
+        from respmon_tpu.pipeline.scan import process_clip_auto
 
         cap = OpenCVCapture(target)
         fps = args.fps or cap.fps
@@ -73,16 +73,25 @@ def main(argv=None) -> int:
         cap.release()
         clip = np.stack(frames).astype(np.float32)
         cfg = MonitorConfig(motion_extraction_method=args.method)
-        res = process_clip(clip, fps, cfg)
-        if not res.found:
+        res = process_clip_auto(clip, fps, cfg,
+                                error_reset_delay=args.error_reset_delay)
+        if not any(ep.result.found for ep in res.episodes):
             logging.error("calibration found no ROI")
             return 1
-        logging.info("ROI: {0}".format(res.roi))
-        if res.error_frame is not None:
-            logging.warning(
-                "tracking lost at measured frame {0}; BPMs after that "
-                "point are unavailable (streaming mode would have "
-                "recalibrated)".format(res.error_frame))
+        for ep in res.episodes:
+            if ep.result.found:
+                logging.info("episode@{0}: ROI {1}".format(
+                    ep.start_frame, ep.result.roi))
+            if ep.result.error_frame is not None:
+                logging.warning(
+                    "tracking lost at clip frame {0}; recalibrated from "
+                    "the loss point (streaming-monitor error cycle)".format(
+                        ep.start_frame + cfg.calibration.buffer_length + 2
+                        + ep.result.error_frame))
+        if res.exhausted:
+            logging.warning("gave up after {0} episodes (max_episodes); "
+                            "clip tail unprocessed".format(
+                                len(res.episodes)))
         logging.info("Final BPM estimate: {0}".format(res.final_bpm))
         return 0
 

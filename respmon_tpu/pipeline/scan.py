@@ -251,3 +251,67 @@ def process_clip(frames: np.ndarray, fps: float, cfg: MonitorConfig,
     error_frame = int(np.argmax(errs)) if errs.any() else None
     return ClipRunResult(found=True, roi=(x, y, w, h), measure=res,
                          final_bpm=final_bpm, error_frame=error_frame)
+
+
+class ClipEpisode(NamedTuple):
+    start_frame: int           # absolute clip index this episode began at
+    result: ClipRunResult
+
+
+class AutoClipResult(NamedTuple):
+    episodes: Tuple[ClipEpisode, ...]
+    final_bpm: Optional[float]     # last BPM across all episodes
+    recoveries: int                # episodes begun after a tracking loss
+    exhausted: bool                # stopped on max_episodes, not clip end
+
+
+def process_clip_auto(frames: np.ndarray, fps: float, cfg: MonitorConfig,
+                      dtype=jnp.float32, estimate_every_frame: bool = True,
+                      max_episodes: int = 8,
+                      error_reset_delay: float = 0.0) -> AutoClipResult:
+    """Whole-clip fast path WITH the streaming monitor's error→recalibrate
+    cycle (reference base.py:496-533): when an episode reports
+    ``error_frame`` (tracking lost / no keypoints), calibration+measurement
+    re-runs from the loss point, bounded by ``max_episodes``.
+
+    Frame-accounting parity with the streaming monitor at
+    ``error_reset_delay=0``: the error-state step consumes one frame, then
+    calibration buffering restarts on the next (monitor.py error branch), so
+    episode k+1 starts at ``loss_frame + 1 + round(error_reset_delay*fps)``
+    — each episode's own ``process_clip`` then replays the initialize-eats-
+    frame-0 and dropped-locate-frame rules.  ``found=False`` calibrations
+    retry on the next ``buffer_length`` frames (the monitor's
+    retry-on-no-contour path, base.py:452-454).
+    """
+    cal_len = cfg.calibration.buffer_length
+    delay_frames = int(round(error_reset_delay * fps))
+    episodes = []
+    recoveries = 0
+    start = 0
+    n = int(frames.shape[0])
+    while len(episodes) < max_episodes and n - start > cal_len + 2:
+        res = process_clip(frames[start:], fps, cfg, dtype=dtype,
+                           estimate_every_frame=estimate_every_frame)
+        episodes.append(ClipEpisode(start_frame=start, result=res))
+        if not res.found:
+            # no-contour retry: buffer the next cal_len frames
+            # (calibration_buffer_idx reset, base.py:452-454)
+            start += cal_len
+            continue
+        if res.error_frame is None:
+            break  # clean run to the end of the clip
+        # Absolute frame of the loss: episode's measure covers
+        # frames[start + cal_len + 2 :].
+        lost_abs = start + cal_len + 2 + res.error_frame
+        start = lost_abs + 1 + delay_frames
+        recoveries += 1
+    exhausted = (len(episodes) >= max_episodes
+                 and bool(episodes) and episodes[-1].result.error_frame
+                 is not None)
+
+    final_bpm = None
+    for ep in episodes:
+        if ep.result.final_bpm is not None:
+            final_bpm = ep.result.final_bpm
+    return AutoClipResult(episodes=tuple(episodes), final_bpm=final_bpm,
+                          recoveries=recoveries, exhausted=exhausted)

@@ -82,6 +82,46 @@ def test_process_clip_not_found():
     assert not res.found and res.final_bpm is None
 
 
+def test_process_clip_auto_recovers_and_matches_monitor():
+    # Mid-clip dropout (scene goes black, then a new subject appears): the
+    # auto-resume fast path must recalibrate from the loss point exactly
+    # like the streaming monitor's error→recalibrate cycle
+    # (base.py:496-533) and produce the same post-recovery BPMs.
+    good1 = breathing_clip(num_frames=64 + 2 + 40, height=120, width=160,
+                           fps=FPS, bpm=18.0, patch_center=(60, 80),
+                           patch_size=(30, 40), amplitude=0.12,
+                           motion_px=2.0)
+    black = np.zeros((20, 120, 160), np.float32)
+    good2 = breathing_clip(num_frames=64 + 2 + 60, height=120, width=160,
+                           fps=FPS, bpm=24.0, patch_center=(60, 80),
+                           patch_size=(30, 40), amplitude=0.12,
+                           motion_px=2.0, seed=5)
+    frames = np.concatenate([good1, black, good2])
+    cfg = MonitorConfig(motion_extraction_method="flow", calibration=CAL)
+
+    res = scan.process_clip_auto(frames, FPS, cfg, error_reset_delay=0.0)
+    assert res.recoveries >= 1
+    assert len(res.episodes) >= 2
+    assert res.episodes[0].result.error_frame is not None
+    last = res.episodes[-1].result
+    assert last.found and last.error_frame is None
+    assert res.final_bpm is not None
+
+    mon = RespiratoryMonitor(
+        capture_target="autocmp", save_all_data=False, visualize=None,
+        motion_extraction_method="flow", config=cfg,
+        error_reset_delay=0.0,
+        capture=ArrayCapture(frames, fps=FPS), auto_run=False,
+        sync_fps=False)
+    mon.run()
+    assert mon.error_message is not None, "monitor never hit the error"
+    assert len(mon.freq) > 0, "monitor produced no post-recovery BPMs"
+    # reset() clears freq, so mon.freq holds only post-recovery estimates;
+    # they must match the auto path's final episode.
+    np.testing.assert_allclose(res.final_bpm, mon.freq[-1], atol=1e-4)
+    assert int(np.asarray(last.measure.has_bpm).sum()) == len(mon.freq)
+
+
 def test_process_clip_reports_error_frame():
     # Tracking loss mid-clip: the clip path surfaces where the streaming
     # monitor would have entered its error state.
