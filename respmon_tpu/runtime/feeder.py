@@ -23,11 +23,19 @@ from respmon_tpu.io.native import FrameRing
 
 class FrameFeeder:
     def __init__(self, capture: CaptureSource, capacity: int = 4,
-                 fps_limit: Optional[float] = None) -> None:
+                 fps_limit: Optional[float] = None,
+                 lossless: bool = False) -> None:
         self.capture = capture
         self.ring = FrameRing(capacity,
                               (capture.height, capture.width))
         self.fps_limit = fps_limit
+        # Lossless mode (file/array replay): the capture thread applies
+        # backpressure — it waits while the ring is full instead of
+        # overwriting the oldest unread frame.  Matches the reference's
+        # blocking ``cap.read()`` frame accounting for clips while still
+        # prefetching/decoding ahead of the device step.  Live cameras
+        # keep drop-oldest semantics (freshest frame wins).
+        self.lossless = bool(lossless)
         self._stop = threading.Event()
         self._ended = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -46,6 +54,14 @@ class FrameFeeder:
             frame = self.capture.next_frame()
             if frame is None:
                 break
+            if self.lossless:
+                # SPSC: only the consumer shrinks the ring, so a sub-capacity
+                # observation here cannot be invalidated before the push.
+                while len(self.ring) >= self.ring.capacity:
+                    if self._stop.is_set():
+                        self._ended.set()
+                        return
+                    time.sleep(0.0005)
             self.ring.push(np.asarray(frame, np.float32))
             self.frames_captured += 1
             if interval:

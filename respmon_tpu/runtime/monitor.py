@@ -241,16 +241,14 @@ class RespiratoryMonitor:
         if self._feeder is None:
             from respmon_tpu.runtime.feeder import FrameFeeder
 
-            # Webcams self-pace (blocking read at camera rate); file/array
-            # replay is paced at source fps to emulate live ingest instead
-            # of instantly draining the clip into the drop-oldest ring.
-            pace = None
-            if not isinstance(self.capture_target, int):
-                pace = (self.config.fps_limit if math.isnan(self.fps)
-                        else float(self.fps))
+            # Webcams self-pace (blocking read at camera rate) and keep
+            # drop-oldest live semantics; file/array replay prefetches
+            # losslessly — the decode thread blocks when the ring is full,
+            # so every frame is delivered in order (reference accounting)
+            # while decoding still overlaps the device step.
             self._feeder = FrameFeeder(
                 self.cap, capacity=self.feeder_capacity,
-                fps_limit=pace).start()
+                lossless=not self.feeder_latest).start()
         frame, _seq = self._feeder.next_frame(latest=self.feeder_latest)
         dropped = self._feeder.dropped
         if dropped > self.frames_dropped:
