@@ -38,6 +38,9 @@ def main(argv=None) -> int:
                         "frame")
     p.add_argument("--fps", type=float, default=None,
                    help="override/declare the clip frame rate")
+    p.add_argument("--verbose", action="store_true",
+                   help="per-stage EVM timing logs during calibration "
+                        "(reference transforms.py verbose=True)")
     args = p.parse_args(argv)
 
     logging.basicConfig(format="%(asctime)s :: %(message)s",
@@ -106,7 +109,8 @@ def main(argv=None) -> int:
         save_all_data=not args.no_save,
         motion_extraction_method=args.method,
         auto_run=False,
-        sync_fps=not args.no_sync)
+        sync_fps=not args.no_sync,
+        verbose_evm=args.verbose)
     if args.skip_calibration:
         mon.fps = mon.fps if mon.fps == mon.fps else args.fps_limit
         mon.skip_calibration(*args.skip_calibration)

@@ -223,6 +223,74 @@ def laplacian_band_levels_mm(vid: jnp.ndarray, levels: int, skip_top: int,
     )(vid, *dh, *dw, *uh, *uw)
 
 
+# ---------------------------------------------------------------------------
+# Tiled first stage for frames too large for one VMEM-resident pyramid
+# (e.g. 1080p: an 8.3 MB f32 frame x2 pipeline buffers exceeds VMEM).
+#
+# The first ``s1`` Gaussian levels are computed per W-strip with a halo of
+# hp = 2*2^s1 full-res columns (the 5-tap stencil chain reaches at most
+# 2^(s1+1)-2 columns); the small gauss[s1] video then feeds the ordinary
+# fused kernel for the remaining levels.  Bit-exactness: interior strips see
+# only true pixels in identical stencil order; the FIRST/LAST strips start/
+# end at the true image edge, so the kernel's own reflect-101 *is* the true
+# border rule (same values, same summation order as the whole-frame kernel).
+# Strip-edge contamination (the kernel reflecting where the image continues)
+# touches <= 2 columns per level per side and every contaminated column
+# falls outside the statically-kept slice (margins 0/2/4 for first/middle/
+# last strips; the halo leaves exactly 2 spare columns each side at level
+# s1).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("s1", "nt", "interpret"))
+def gauss_level_tiled(vid: jnp.ndarray, s1: int, nt: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Gaussian pyramid level ``s1`` of a (T, H, W) video, computed by a
+    Pallas kernel gridded over ``nt`` W-strips: same stencils in the same
+    order as ``gaussian_pyramid(vid, s1+1)[s1]`` (differences only from
+    backend FMA fusion, <= 1 ULP).
+
+    Requires W % nt == 0 and (W // nt) % 2^s1 == 0 and W//nt >= 4*2^s1.
+    """
+    t_len, h, w = vid.shape
+    stride = 1 << s1
+    hp = 2 * stride
+    assert nt >= 2 and w % nt == 0, (w, nt)
+    wt = w // nt
+    assert wt % stride == 0 and wt >= 2 * hp, (wt, stride, hp)
+    ws = wt + 2 * hp
+
+    starts = [0] + [i * wt - hp for i in range(1, nt - 1)] + [w - ws]
+    strips = jnp.stack([vid[:, :, s:s + ws] for s in starts], axis=1)
+
+    shapes = pyramid_shapes(h, ws, s1 + 1)
+    hs, wss = shapes[s1]
+    wts = wt // stride
+
+    def kernel(in_ref, out_ref):
+        g = in_ref[0, 0]
+        for _ in range(s1):
+            g = _down2d(g)
+        out_ref[0, 0] = g
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(t_len, nt),
+        in_specs=[pl.BlockSpec((1, 1, h, ws), lambda t, i: (t, i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, hs, wss), lambda t, i: (t, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_len, nt, hs, wss), vid.dtype),
+        interpret=interpret,
+    )(strips)
+
+    # Static per-strip valid slices (kernel-edge reflection contaminates
+    # <= 2 columns each side; edge strips own their true border).
+    parts = [out[:, 0, :, 0:wts]]
+    parts += [out[:, i, :, 2:2 + wts] for i in range(1, nt - 1)]
+    parts.append(out[:, nt - 1, :, wss - wts:wss])
+    return jnp.concatenate(parts, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("levels", "skip_top", "interpret"))
 def laplacian_band_levels(vid: jnp.ndarray, levels: int, skip_top: int,
                           interpret: bool = False) -> Tuple[jnp.ndarray,

@@ -47,28 +47,75 @@ class LocateResult(NamedTuple):
     raw_heat_u8: jnp.ndarray  # (H, W) uint8 of the unmasked heatmap
 
 
+_FUSED_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _fused_footprint_bytes(h: int, w: int, itemsize: int) -> int:
+    """VMEM estimate of the single-kernel fused pyramid: a frame plus its
+    Gaussian chain (~4/3 of the frame) x ~2 pipeline buffers."""
+    return int(h * w * itemsize * (4.0 / 3.0) * 2.2)
+
+
+def _tiled_plan(h, w, itemsize, skip_top):
+    """(s1, nt) for the two-stage tiled pyramid, or None if infeasible.
+
+    Picks the shallowest stage-1 depth whose output level fits the fused
+    kernel, then the fewest W-strips whose halo'd strip (plus its in-kernel
+    downsample chain and double buffering, ~3.2x the strip) fits VMEM.
+    """
+    from respmon_tpu.ops.pyramid import pyramid_shapes as _shapes
+
+    for s1 in range(1, skip_top + 1):
+        stride = 1 << s1
+        hs, ws_lvl = _shapes(h, w, s1 + 1)[s1]
+        if _fused_footprint_bytes(hs, ws_lvl, itemsize) >= _FUSED_VMEM_BUDGET:
+            continue
+        hp = 2 * stride
+        for nt in (2, 4, 8, 16, 32):
+            if w % nt:
+                continue
+            wt = w // nt
+            if wt % stride or wt < 2 * hp:
+                continue
+            if int(h * (wt + 2 * hp) * itemsize * 3.2) < _FUSED_VMEM_BUDGET:
+                return s1, nt
+    return None
+
+
 def _band_laplacian_levels(vid: jnp.ndarray, cfg: CalibrationConfig):
     """Laplacian levels [skip_top, levels-2] of the video.
 
     On TPU backends this runs the fused Pallas kernel (the whole per-frame
     pyramid stays in VMEM; ~2x the XLA formulation, bit-identical — see
-    ops/pyramid_pallas.py); the XLA path serves CPU/interpret contexts.
+    ops/pyramid_pallas.py).  Frames too large for one VMEM-resident pyramid
+    (e.g. 1080p) take the two-stage tiled path: a W-strip Pallas kernel
+    computes gauss[s1], then the fused kernel finishes from there — the
+    same stencils in the same order as the single-kernel and XLA
+    formulations (<= 1 ULP from backend FMA fusion).  The XLA path
+    serves CPU/interpret contexts and shapes the tiler can't split.
     """
     first = cfg.skip_levels_at_top
     last = cfg.pyramid_levels - 2
-    # The fused kernel keeps a frame plus its full Gaussian pyramid
-    # (~4/3 of the frame) x2 pipeline buffers in VMEM; guard against
-    # footprints that exceed the ~16 MB budget (e.g. 1080p frames).
     h, w = vid.shape[-2:]
-    vmem_bytes = int(h * w * vid.dtype.itemsize * (4.0 / 3.0) * 2.2)
+    itemsize = vid.dtype.itemsize
     # Mosaic kernels are TPU-only ('axon' is a tunneled TPU plugin); GPU and
     # other backends take the XLA path.
-    if jax.default_backend() in ("tpu", "axon") \
-            and vmem_bytes < 14 * 1024 * 1024:
-        from respmon_tpu.ops.pyramid_pallas import laplacian_band_levels
+    if jax.default_backend() in ("tpu", "axon"):
+        if _fused_footprint_bytes(h, w, itemsize) < _FUSED_VMEM_BUDGET:
+            from respmon_tpu.ops.pyramid_pallas import laplacian_band_levels
 
-        levels = laplacian_band_levels(vid, cfg.pyramid_levels, first)
-        return dict(zip(range(first, last + 1), levels))
+            levels = laplacian_band_levels(vid, cfg.pyramid_levels, first)
+            return dict(zip(range(first, last + 1), levels))
+        plan = _tiled_plan(h, w, itemsize, first)
+        if plan is not None:
+            from respmon_tpu.ops.pyramid_pallas import (gauss_level_tiled,
+                                                        laplacian_band_levels)
+
+            s1, nt = plan
+            g = gauss_level_tiled(vid, s1, nt)
+            levels = laplacian_band_levels(g, cfg.pyramid_levels - s1,
+                                           first - s1)
+            return dict(zip(range(first, last + 1), levels))
     lap = laplacian_pyramid(vid, cfg.pyramid_levels)
     return {i: lap[i] for i in range(first, last + 1)}
 
@@ -119,6 +166,70 @@ def eulerian_magnification_bandpass(vid: jnp.ndarray, fps: float,
     return EVMResult(masked=masked, raw=raw)
 
 
+def eulerian_magnification_bandpass_verbose(vid: jnp.ndarray, fps: float,
+                                            cfg: CalibrationConfig) \
+        -> EVMResult:
+    """Per-stage timed EVM (reference transforms.py:153-155, 166-168,
+    194-197 ``verbose=True``): logs each stage's wall dt and per-frame
+    average.  Stages run as separate blocked device calls so the dt's are
+    real — use the fused ``eulerian_magnification_bandpass`` in production
+    (this variant pays extra dispatches and loses cross-stage fusion)."""
+    import logging
+    import time as _time
+
+    log = logging.getLogger(__name__).info
+    t_len = vid.shape[0]
+
+    def stage(name, fn, *a):
+        t0 = _time.time()
+        out = jax.block_until_ready(fn(*a))
+        dt = _time.time() - t0
+        log("%s (t=%s, dt=%s)", name, t0, dt)
+        log("Frame Average (t=n/a, dt=%s)", dt / float(t_len))
+        return out
+
+    band_fn = jax.jit(lambda v: _band_laplacian_levels(v, cfg))
+    band_lap = stage("create_laplacian_video_pyramid", band_fn, vid)
+
+    assert cfg.temporal_filter in ("fft", "iir")
+    if cfg.temporal_filter == "fft":
+        filt = lambda lvl: temporal_bandpass_fft(
+            lvl, fps, cfg.freq_min, cfg.freq_max, cfg.amplification)
+    else:
+        from respmon_tpu.ops.fft_bandpass import temporal_bandpass_iir
+
+        filt = lambda lvl: temporal_bandpass_iir(
+            lvl, fps, cfg.freq_min, cfg.freq_max, cfg.amplification)
+    band = {i: stage("temporal_bandpass_filter", jax.jit(filt), lvl)
+            for i, lvl in band_lap.items()}
+
+    def collapse_and_mask(band_vals):
+        t_len_, h, w = vid.shape
+        shapes = pyramid_shapes(h, w, cfg.pyramid_levels)
+        last = cfg.pyramid_levels - 2
+        img = jnp.zeros((t_len_,) + shapes[last + 1], vid.dtype)
+        for lvl in range(last, -1, -1):
+            img = pyr_up(img, shapes[lvl])
+            if lvl in band_vals:
+                img = img + band_vals[lvl]
+        lo = jnp.min(img)
+        hi = jnp.max(img)
+        top = hi - (hi - lo) * cfg.temporal_threshold
+        return EVMResult(masked=jnp.where(img >= top, lo, img), raw=img)
+
+    return stage("collapse_laplacian_video_pyramid",
+                 jax.jit(collapse_and_mask), band)
+
+
+def locate_verbose(vid: jnp.ndarray, fps: float,
+                   cfg: CalibrationConfig) -> LocateResult:
+    """``locate`` with the reference's per-stage verbose timing
+    (transforms.py verbose=True): each EVM stage is dispatched and blocked
+    separately so its dt is logged.  Same result, more dispatches."""
+    evm_res = eulerian_magnification_bandpass_verbose(vid, fps, cfg)
+    return _locate_from_evm(evm_res, cfg)
+
+
 @partial(jax.jit, static_argnames=("fps", "cfg"))
 def locate(vid: jnp.ndarray, fps: float, cfg: CalibrationConfig) \
         -> LocateResult:
@@ -129,7 +240,11 @@ def locate(vid: jnp.ndarray, fps: float, cfg: CalibrationConfig) \
     reference's `len(contours) <= 0 -> None` retry path, base.py:569-570).
     """
     evm = eulerian_magnification_bandpass(vid, fps, cfg)
+    return _locate_from_evm(evm, cfg)
 
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _locate_from_evm(evm: EVMResult, cfg: CalibrationConfig) -> LocateResult:
     avg = jnp.mean(evm.masked, axis=0)
     avg_norm = (avg - jnp.min(avg)) / (jnp.max(avg) - jnp.min(avg))
     heat_u8 = float_to_uint8(avg_norm)

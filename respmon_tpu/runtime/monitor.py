@@ -80,7 +80,8 @@ class RespiratoryMonitor:
                  compute_dtype=jnp.float32,
                  use_feeder: Optional[bool] = None,
                  feeder_capacity: int = 4,
-                 feeder_latest: Optional[bool] = None):
+                 feeder_latest: Optional[bool] = None,
+                 verbose_evm: bool = False):
         cfg = config or MonitorConfig()
         cfg = MonitorConfig(
             fps_limit=fps_limit, error_reset_delay=error_reset_delay,
@@ -99,6 +100,9 @@ class RespiratoryMonitor:
             self.benchmarker.add_tag(tag)
         self.sync_fps_enabled = sync_fps
         self.compute_dtype = compute_dtype
+        # Per-stage EVM timing logs during calibration (the reference's
+        # transforms.py verbose=True path).
+        self.verbose_evm = bool(verbose_evm)
 
         # Capture (probe fps/size like base.py:46-51).
         self.capture_target = capture_target
@@ -338,7 +342,8 @@ class RespiratoryMonitor:
             np.floor(self.fps / self.config.calibration.freq_max))
 
         self.benchmarker.tick_start("Calibration Measurement")
-        result = evm.locate(
+        locate_fn = evm.locate_verbose if self.verbose_evm else evm.locate
+        result = locate_fn(
             jnp.asarray(self.calibration_buffer, self.compute_dtype),
             float(self.fps), self.config.calibration)
         jax.block_until_ready(result.found)

@@ -72,3 +72,32 @@ def test_locate_float32_same_bbox(clip):
     res32 = evm.locate(jnp.asarray(clip.astype(np.float32)), 10.0, CFG)
     assert (int(res32.x), int(res32.y), int(res32.w), int(res32.h)) == \
         (int(res64.x), int(res64.y), int(res64.w), int(res64.h))
+
+
+def test_locate_verbose_matches_and_logs(caplog):
+    # The per-stage timed variant (reference transforms.py verbose=True)
+    # produces the same LocateResult and logs each stage's dt.
+    import logging
+
+    import numpy as np
+
+    from respmon_tpu.io.synthetic import breathing_clip
+
+    vid = jnp.asarray(breathing_clip(
+        num_frames=32, height=60, width=80, fps=10.0, bpm=18.0,
+        patch_center=(30, 40), patch_size=(16, 20), amplitude=0.12),
+        jnp.float32)
+    cfg = CalibrationConfig(pyramid_levels=5, skip_levels_at_top=2,
+                            buffer_length=32)
+    with caplog.at_level(logging.INFO, logger="respmon_tpu.pipeline.evm"):
+        got = evm.locate_verbose(vid, 10.0, cfg)
+    want = evm.locate(vid, 10.0, cfg)
+    assert bool(got.found) == bool(want.found)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+    text = caplog.text
+    for name in ("create_laplacian_video_pyramid",
+                 "temporal_bandpass_filter",
+                 "collapse_laplacian_video_pyramid", "Frame Average"):
+        assert name in text, f"missing stage log: {name}"
