@@ -154,7 +154,20 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
                           0.0)
         pnorm = jnp.sqrt(jnp.sum((D * delta) ** 2))
 
-        Delta_new = jnp.where(ratio <= 0.25, 0.5 * Delta,
+        # Trust-region update per MINPACK lmdif: on a poor step the radius
+        # shrinks to temp * min(Delta, 10*pnorm) — bounded by the STEP size,
+        # not the (possibly huge initial) radius.  Halving the stale radius
+        # instead lets an early wild step (e.g. the first Gauss-Newton step
+        # zeroing the amplitude) fling the iterate into a flat DC-offset
+        # basin that MINPACK never visits.
+        dirder = jnp.dot(g, delta)          # <= 0 for LM/GN steps
+        temp = jnp.where(actred >= 0, 0.5,
+                         0.5 * dirder / (dirder + 0.5 * actred))
+        temp = jnp.where(F_new >= 100.0 * F, 0.1, temp)
+        temp = jnp.where(jnp.isfinite(temp), temp, 0.1)
+        temp = jnp.clip(temp, 0.1, 0.5)
+        Delta_new = jnp.where(ratio <= 0.25,
+                              temp * jnp.minimum(Delta, 10.0 * pnorm),
                               jnp.where((ratio >= 0.75) | inside,
                                         2.0 * pnorm, Delta))
         accept = (ratio > 1e-4) & jnp.all(jnp.isfinite(p_new)) \

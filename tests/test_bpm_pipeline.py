@@ -65,3 +65,35 @@ def test_flat_signal_yields_no_bpm():
     res = _run(np.zeros(128), t)
     assert not bool(res.has_bpm)
     assert int(res.peak_count) == 0
+
+
+def test_fit_disagreement_bpm_error_bounded():
+    """Quantify the BPM error induced by LM-vs-curve_fit accept/reject
+    disagreements (the ~1% of pure-noise windows where the fitters differ):
+    across a noise sweep, whenever both pipelines produce a BPM the gap
+    must stay within the ±0.5 BPM parity bar, and has_bpm decisions must
+    agree on all but a small fraction of traces."""
+    cases = 0
+    decision_flips = 0
+    max_gap = 0.0
+    for bpm_true in (12.0, 18.0):
+        for noise in (0.05, 0.1, 0.2, 0.3):
+            for seed in range(5):
+                t, y = motion_trace(num_samples=128, fps=FPS, bpm=bpm_true,
+                                    noise=noise, seed=seed + int(10 * noise)
+                                    + int(bpm_true))
+                res = _run(y, t)
+                want, _, _, _ = golden.measure_bpm(y, t, FPS)
+                cases += 1
+                if bool(res.has_bpm) != (want is not None):
+                    decision_flips += 1
+                    continue
+                if want is not None:
+                    max_gap = max(max_gap, abs(float(res.bpm) - want))
+    assert cases == 40
+    # Accept/reject flips on noisy windows may change *whether* a BPM is
+    # reported this frame (the reference's own retry path smooths these),
+    # but never push a reported BPM outside the parity bar.
+    assert decision_flips <= 2, \
+        f"{decision_flips}/{cases} has_bpm decisions flipped"
+    assert max_gap <= 0.5, f"max BPM gap {max_gap:.3f} > 0.5"
