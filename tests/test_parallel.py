@@ -192,3 +192,44 @@ def test_iir_temporal_filter_config():
     assert bool(res.found)
     assert res.x <= 40 <= res.x + res.w
     assert res.y <= 30 <= res.y + res.h
+
+
+def test_locate_tsharded_matches_single_device():
+    # Sequence parallelism (SURVEY §2.2 SP): calibration buffer sharded
+    # along T over all 8 devices; bandpass via reduce-scatter matmul;
+    # result must match the unsharded locate.
+    from respmon_tpu.parallel.temporal import locate_tsharded
+    from respmon_tpu.pipeline import evm
+
+    mesh = make_mesh(axis_names=("time",))
+    clip = _stream_clips(1, 32)[0]
+    vid = jnp.asarray(clip, jnp.float32)
+
+    want = evm.locate(vid, FPS, SMALL_CFG.calibration)
+    got = locate_tsharded(vid, mesh, FPS, SMALL_CFG.calibration)
+
+    assert bool(got.found) == bool(want.found)
+    assert (int(got.x), int(got.y), int(got.w), int(got.h)) == \
+        (int(want.x), int(want.y), int(want.w), int(want.h))
+    # Heatmaps agree to quantization (reductions reassociate across shards).
+    assert np.abs(np.asarray(got.heatmap_u8, np.int32)
+                  - np.asarray(want.heatmap_u8, np.int32)).max() <= 1
+    np.testing.assert_array_equal(np.asarray(got.thresh) > 0,
+                                  np.asarray(want.thresh) > 0)
+
+
+def test_locate_tsharded_collectives_are_expected():
+    # The SP program's collectives must be the designed set (reduce-scatter
+    # + scalar/global psums) — in particular no all-to-alls or gathers of
+    # the full video.
+    from respmon_tpu.parallel.temporal import make_tsharded_locate
+
+    mesh = make_mesh(axis_names=("time",))
+    fn = make_tsharded_locate(mesh, FPS, SMALL_CFG.calibration, 32)
+    vid = jnp.zeros((32, 60, 80), jnp.float32)
+    txt = fn.lower(jax.device_put(
+        vid, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("time", None, None)))
+    ).compile().as_text()
+    assert "reduce-scatter" in txt or "all-reduce" in txt
+    assert "all-to-all" not in txt
