@@ -104,8 +104,11 @@ def main_headline():
     log(f"measure compile+first run: {time.time()-t0:.1f}s")
     has = np.asarray(res.has_bpm)
     if has.any():
-        log(f"final BPM: {float(np.asarray(res.bpm)[has][-1]):.2f} "
-            f"(true 18.0)")
+        tail = np.asarray(res.bpm)[has][-10:]
+        log(f"BPM tail median: {float(np.median(tail)):.2f} "
+            f"(last {float(tail[-1]):.2f}; true 18.0 — the synthetic clip "
+            f"admits a spurious early peak the reference chain also keeps, "
+            f"see tests/golden parity)")
 
     # --- timed: device-resident (kernel throughput)
     iters = 5

@@ -239,13 +239,55 @@ def locate(vid: jnp.ndarray, fps: float, cfg: CalibrationConfig) \
     Returns found=False when the threshold image has no foreground (the
     reference's `len(contours) <= 0 -> None` retry path, base.py:569-570).
     """
-    evm = eulerian_magnification_bandpass(vid, fps, cfg)
-    return _locate_from_evm(evm, cfg)
+    t_len, h, w = vid.shape
+    shapes = pyramid_shapes(h, w, cfg.pyramid_levels)
+    last = cfg.pyramid_levels - 2
+
+    band_lap = _band_laplacian_levels(vid, cfg)
+    assert cfg.temporal_filter in ("fft", "iir"), \
+        f"temporal_filter must be 'fft' or 'iir', got {cfg.temporal_filter!r}"
+    if cfg.temporal_filter == "fft":
+        filt = lambda lvl: temporal_bandpass_fft(
+            lvl, fps, cfg.freq_min, cfg.freq_max, cfg.amplification)
+    else:
+        from respmon_tpu.ops.fft_bandpass import temporal_bandpass_iir
+
+        filt = lambda lvl: temporal_bandpass_iir(
+            lvl, fps, cfg.freq_min, cfg.freq_max, cfg.amplification)
+    band = {i: filt(lvl) for i, lvl in band_lap.items()}
+
+    def collapse(levels_dict, t):
+        img = jnp.zeros((t,) + shapes[last + 1], vid.dtype)
+        for lvl in range(last, -1, -1):
+            img = pyr_up(img, shapes[lvl])
+            if lvl in levels_dict:
+                img = img + levels_dict[lvl]
+        return img
+
+    raw = collapse(band, t_len)
+    lo = jnp.min(raw)
+    hi = jnp.max(raw)
+    top = hi - (hi - lo) * cfg.temporal_threshold
+    # The masked video is consumed only through its T-mean, so the
+    # suppress-top `where` fuses straight into the reduction — the (T, H, W)
+    # masked array itself is never materialized (at 1080p that's a ~1 GB
+    # HBM round trip the reference formulation pays).
+    avg = jnp.mean(jnp.where(raw >= top, lo, raw), axis=0)
+
+    # pyrUp is linear, so mean_T(collapse(band)) == collapse(mean_T(band)):
+    # the raw heatmap needs one single-frame collapse of the tiny band
+    # levels, not a second full-resolution (T, H, W) pass.
+    mean_band = {i: jnp.mean(lvl, axis=0, keepdims=True)
+                 for i, lvl in band.items()}
+    raw_avg = collapse(mean_band, 1)[0]
+
+    return _finish_locate(avg, raw_avg, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _locate_from_evm(evm: EVMResult, cfg: CalibrationConfig) -> LocateResult:
-    avg = jnp.mean(evm.masked, axis=0)
+def _finish_locate(avg: jnp.ndarray, raw_avg: jnp.ndarray,
+                   cfg: CalibrationConfig) -> LocateResult:
+    """Normalize -> threshold -> largest component (base.py:560-575) from
+    the already-reduced masked/raw average frames."""
     avg_norm = (avg - jnp.min(avg)) / (jnp.max(avg) - jnp.min(avg))
     heat_u8 = float_to_uint8(avg_norm)
 
@@ -255,7 +297,6 @@ def _locate_from_evm(evm: EVMResult, cfg: CalibrationConfig) -> LocateResult:
 
     box = ccl.largest_component_bbox(fg)
 
-    raw_avg = jnp.mean(evm.raw, axis=0)
     raw_norm = (raw_avg - jnp.min(raw_avg)) / \
         (jnp.max(raw_avg) - jnp.min(raw_avg))
     raw_u8 = float_to_uint8(raw_norm)
@@ -263,3 +304,9 @@ def _locate_from_evm(evm: EVMResult, cfg: CalibrationConfig) -> LocateResult:
     return LocateResult(found=box.found, x=box.x, y=box.y, w=box.w, h=box.h,
                         heatmap_u8=heat_u8, thresh=thresh_img,
                         raw_heat_u8=raw_u8)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _locate_from_evm(evm: EVMResult, cfg: CalibrationConfig) -> LocateResult:
+    return _finish_locate(jnp.mean(evm.masked, axis=0),
+                          jnp.mean(evm.raw, axis=0), cfg)
