@@ -69,23 +69,49 @@ def _neighbor_min4(lab: jnp.ndarray, big: int) -> jnp.ndarray:
     return jnp.minimum(lab, jnp.min(stack, axis=0))
 
 
+def _shifted(x: jnp.ndarray, d: int, axis: int, fill, front: bool) \
+        -> jnp.ndarray:
+    """Contiguous shift by ``d`` along ``axis``: front=True gives
+    out[i] = x[i-d] (filled at the start), else out[i] = x[i+d]."""
+    pad = [(0, 0)] * x.ndim
+    sl = [slice(None)] * x.ndim
+    if front:
+        pad[axis] = (d, 0)
+        sl[axis] = slice(0, x.shape[axis])
+    else:
+        pad[axis] = (0, d)
+        sl[axis] = slice(d, d + x.shape[axis])
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+
 def _segmented_min_scan(lab: jnp.ndarray, fg: jnp.ndarray, axis: int,
                         big: int) -> jnp.ndarray:
     """Min-propagate labels along ``axis`` within contiguous foreground
-    runs, both directions, via ``lax.associative_scan`` — a whole run
-    equalizes in O(log n) parallel steps with zero gathers (TPU gathers on
-    megapixel images are the CCL bottleneck otherwise)."""
-    boundary = ~fg
+    runs, both directions: a whole run equalizes in O(log n) parallel
+    steps with zero gathers (TPU gathers on megapixel images are the CCL
+    bottleneck otherwise).
 
-    def combine(a, b):
-        m1, b1 = a
-        m2, b2 = b
-        return jnp.where(b2, m2, jnp.minimum(m1, m2)), b1 | b2
-
-    fwd, _ = jax.lax.associative_scan(combine, (lab, boundary), axis=axis)
-    bwd, _ = jax.lax.associative_scan(combine, (lab, boundary), axis=axis,
-                                      reverse=True)
-    out = jnp.minimum(fwd, bwd)
+    Hillis-Steele doubling with CONTIGUOUS shifts: at step d the carry
+    (m, blocked) absorbs the carry from d elements behind unless a
+    background boundary intervened.  ``lax.associative_scan`` computes the
+    same thing but lowers to stride-2 interleaved slices, which cost ~8x
+    more on TPU (vector relayouts) and dominate compile time — measured
+    325 ms -> 43 ms for a 44-sweep 1080p labeling when replaced with this
+    formulation."""
+    n = lab.shape[axis]
+    m0 = jnp.where(fg, lab, big)
+    b0 = ~fg
+    out = None
+    for front in (True, False):
+        m, b = m0, b0
+        d = 1
+        while d < n:
+            ms = _shifted(m, d, axis, big, front)
+            bs = _shifted(b, d, axis, True, front)
+            m = jnp.where(b, m, jnp.minimum(m, ms))
+            b = b | bs
+            d *= 2
+        out = m if out is None else jnp.minimum(out, m)
     return jnp.where(fg, out, big)
 
 
