@@ -65,11 +65,32 @@ struct FrameRing {
     int64_t capacity;        // number of slots
     int64_t frame_floats;    // floats per frame
     float* slots;            // capacity * frame_floats
-    int64_t* seqs;           // per-slot sequence number
+    // Per-slot seqlock stamp: the sequence number of the completed write,
+    // or ~seq (negative) while seq's write is in progress.  The stamp is
+    // flipped to ~seq BEFORE the data memcpy and back to seq after, so a
+    // reader that overlaps an overwrite always sees a stamp mismatch on one
+    // side of its copy.
+    std::atomic<int64_t>* seqs;
     std::atomic<int64_t> head;  // next sequence to write
     std::atomic<int64_t> tail;  // oldest unread sequence
     std::atomic<int64_t> dropped;  // frames pushed but never delivered
 };
+
+// Advance ``tail`` to at least ``target`` (never backwards: both producer
+// overwrite-advance and consumer pops race on it).  Returns how far it moved
+// from the caller-observed value (for drop accounting), or 0 if another
+// update won.
+static int64_t tail_advance(FrameRing* r, int64_t target) {
+    int64_t t = r->tail.load(std::memory_order_relaxed);
+    while (t < target) {
+        if (r->tail.compare_exchange_weak(t, target,
+                                          std::memory_order_release,
+                                          std::memory_order_relaxed)) {
+            return target - t;
+        }
+    }
+    return 0;
+}
 
 FrameRing* ring_create(int64_t capacity, int64_t frame_floats) {
     auto* r = new (std::nothrow) FrameRing();
@@ -77,13 +98,15 @@ FrameRing* ring_create(int64_t capacity, int64_t frame_floats) {
     r->capacity = capacity;
     r->frame_floats = frame_floats;
     r->slots = new (std::nothrow) float[capacity * frame_floats];
-    r->seqs = new (std::nothrow) int64_t[capacity]();
+    r->seqs = new (std::nothrow) std::atomic<int64_t>[capacity];
     if (!r->slots || !r->seqs) {
         delete[] r->slots;
         delete[] r->seqs;
         delete r;
         return nullptr;
     }
+    // No slot holds a completed write yet; ~0 marks "never written".
+    for (int64_t i = 0; i < capacity; ++i) r->seqs[i].store(~int64_t(0));
     r->head.store(0);
     r->tail.store(0);
     r->dropped.store(0);
@@ -102,59 +125,93 @@ void ring_destroy(FrameRing* r) {
 int64_t ring_push(FrameRing* r, const float* frame) {
     const int64_t seq = r->head.load(std::memory_order_relaxed);
     const int64_t slot = seq % r->capacity;
+    // Seqlock write side: invalidate the stamp, fence, write data, publish
+    // the stamp.  The release fence keeps the invalidation visible before
+    // any of the data stores; the release store publishes the data.
+    r->seqs[slot].store(~seq, std::memory_order_relaxed);
+    std::atomic_thread_fence(std::memory_order_release);
     std::memcpy(r->slots + slot * r->frame_floats, frame,
                 sizeof(float) * r->frame_floats);
-    r->seqs[slot] = seq;
+    r->seqs[slot].store(seq, std::memory_order_release);
     r->head.store(seq + 1, std::memory_order_release);
-    // Advance tail if we just overwrote the oldest unread slot.
-    int64_t tail = r->tail.load(std::memory_order_relaxed);
-    if (seq + 1 - tail > r->capacity) {
-        const int64_t new_tail = seq + 1 - r->capacity;
-        r->tail.store(new_tail, std::memory_order_release);
-        r->dropped.fetch_add(new_tail - tail, std::memory_order_relaxed);
+    // Advance tail past the slot we just overwrote (monotonic CAS so a
+    // concurrent consumer pop can never be clobbered backwards).
+    if (seq + 1 - r->tail.load(std::memory_order_relaxed) > r->capacity) {
+        const int64_t moved = tail_advance(r, seq + 1 - r->capacity);
+        if (moved > 0)
+            r->dropped.fetch_add(moved, std::memory_order_relaxed);
     }
     return seq;
+}
+
+// Seqlock read side: copy slot ``slot`` expecting stamp ``want``.  Returns
+// true iff the copy is consistent (stamp matched on both sides of the copy).
+static bool read_slot(FrameRing* r, int64_t slot, int64_t want, float* out) {
+    if (r->seqs[slot].load(std::memory_order_acquire) != want) return false;
+    std::memcpy(out, r->slots + slot * r->frame_floats,
+                sizeof(float) * r->frame_floats);
+    std::atomic_thread_fence(std::memory_order_acquire);
+    return r->seqs[slot].load(std::memory_order_relaxed) == want;
 }
 
 // Consumer: pop the OLDEST unread frame (FIFO).  Returns its sequence
 // number, or -1 when empty.
 int64_t ring_pop(FrameRing* r, float* out) {
-    int64_t tail = r->tail.load(std::memory_order_relaxed);
-    const int64_t head = r->head.load(std::memory_order_acquire);
-    if (tail >= head) return -1;
-    // The producer may lap us between the check and the copy; detect via
-    // the slot's sequence stamp and retry forward.
     for (;;) {
-        const int64_t slot = tail % r->capacity;
-        std::memcpy(out, r->slots + slot * r->frame_floats,
-                    sizeof(float) * r->frame_floats);
-        const int64_t stamp = r->seqs[slot];
-        if (stamp == tail) {
-            r->tail.store(tail + 1, std::memory_order_release);
-            return tail;
+        int64_t tail = r->tail.load(std::memory_order_relaxed);
+        const int64_t head = r->head.load(std::memory_order_acquire);
+        if (tail >= head) return -1;
+        if (read_slot(r, tail % r->capacity, tail, out)) {
+            // Deliver iff tail is still ours (the producer may have lapped
+            // past this slot between the copy and here; the CAS loses and
+            // we retry from the advanced tail — never a stale duplicate).
+            int64_t expect = tail;
+            if (r->tail.compare_exchange_strong(expect, tail + 1,
+                                                std::memory_order_release,
+                                                std::memory_order_relaxed)) {
+                return tail;
+            }
+            continue;
         }
-        // Lapped: jump to the oldest valid sequence.
-        tail = r->head.load(std::memory_order_acquire) - r->capacity;
-        if (tail < 0) tail = 0;
-        if (tail >= r->head.load(std::memory_order_acquire)) return -1;
+        // Torn or lapped: skip just past the slot being overwritten (the
+        // producer writing seq ``head`` occupies slot head % capacity =
+        // (head - capacity) % capacity).  Frames we skip were overwritten
+        // and never delivered — count them dropped (invariant: every tail
+        // step is either one delivered pop or a counted drop).
+        int64_t fresh = r->head.load(std::memory_order_acquire)
+            - r->capacity + 1;
+        if (fresh > tail) {
+            const int64_t moved = tail_advance(r, fresh);
+            if (moved > 0)
+                r->dropped.fetch_add(moved, std::memory_order_relaxed);
+        }
     }
 }
 
 // Consumer: pop the NEWEST frame, discarding older ones (freshest-frame
 // semantics for live monitoring).  Returns its sequence, or -1 when empty.
 int64_t ring_pop_latest(FrameRing* r, float* out) {
-    const int64_t head = r->head.load(std::memory_order_acquire);
-    const int64_t tail = r->tail.load(std::memory_order_relaxed);
-    if (tail >= head) return -1;
-    const int64_t seq = head - 1;
-    const int64_t slot = seq % r->capacity;
-    std::memcpy(out, r->slots + slot * r->frame_floats,
-                sizeof(float) * r->frame_floats);
-    r->tail.store(head, std::memory_order_release);
-    if (seq > tail) {  // older unread frames were skipped, not delivered
-        r->dropped.fetch_add(seq - tail, std::memory_order_relaxed);
+    for (;;) {
+        const int64_t head = r->head.load(std::memory_order_acquire);
+        const int64_t tail = r->tail.load(std::memory_order_relaxed);
+        if (tail >= head) return -1;
+        const int64_t seq = head - 1;
+        if (!read_slot(r, seq % r->capacity, seq, out)) continue;  // lapped
+        int64_t expect = tail;
+        // Monotonic claim up to ``head``; losing the race means the
+        // producer overwrote more frames — retry with the fresher head.
+        while (expect < head) {
+            if (r->tail.compare_exchange_weak(expect, head,
+                                              std::memory_order_release,
+                                              std::memory_order_relaxed)) {
+                if (seq > expect) {  // skipped frames were never delivered
+                    r->dropped.fetch_add(seq - expect,
+                                         std::memory_order_relaxed);
+                }
+                return seq;
+            }
+        }
     }
-    return seq;
 }
 
 int64_t ring_size(const FrameRing* r) {

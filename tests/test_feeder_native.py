@@ -110,6 +110,49 @@ def test_ring_concurrent_producer_consumer():
     assert not errors, errors[:5]
     assert len(consumed) > 0
     assert consumed[-1] == n - 1  # the final frame always arrives
+    # Conservation: every pushed frame is delivered, counted dropped, or
+    # still resident (every tail step is a pop or a counted drop).
+    assert len(consumed) + ring.dropped + len(ring) == n
+
+
+@pytest.mark.parametrize("cap", [2, 8])
+def test_ring_concurrent_pop_latest(cap):
+    # pop_latest under lapping pressure: frames must be untorn, sequences
+    # strictly increasing, and accounting must conserve.
+    ring = FrameRing(cap, (64,))
+    n = 10000
+    errors = []
+    consumed = []
+
+    def producer():
+        for i in range(n):
+            ring.push(np.full(64, float(i), np.float32))
+
+    def consumer():
+        last = -1
+        idle = 0
+        while idle < 3000:
+            f, seq = ring.pop_latest()
+            if f is None:
+                idle += 1
+                continue
+            idle = 0
+            if not np.all(f == float(seq)):
+                errors.append(("torn", seq))
+            if seq <= last:
+                errors.append(("order", seq, last))
+            last = seq
+            consumed.append(seq)
+
+    tp = threading.Thread(target=producer)
+    tc = threading.Thread(target=consumer)
+    tc.start()
+    tp.start()
+    tp.join()
+    tc.join()
+    assert not errors, errors[:5]
+    assert consumed and consumed[-1] == n - 1
+    assert len(consumed) + ring.dropped + len(ring) == n
 
 
 def test_feeder_end_to_end():
