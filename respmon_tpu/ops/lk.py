@@ -86,16 +86,28 @@ def _pad_for_windows(img: jnp.ndarray, win: int, border: str) -> jnp.ndarray:
 class _LevelPatches(NamedTuple):
     """Per-level sampling structures.
 
-    Only the *next* image is re-sampled inside the Newton loop, so only it
-    gets the im2col patch matrix; prev/dx/dy windows are sampled once per
-    level via padded dynamic slices (cheaper than building three more patch
-    matrices)."""
+    Only the *next* image is re-sampled inside the Newton loop.  Two
+    sampling modes for it (``mode``):
+
+    - ``"patches"``: ``next`` is an im2col patch matrix (R, win*win); a
+      bilinear window is 4 contiguous row gathers.  Fastest per iteration,
+      but materializing the matrix costs ~(win*win)x the image in HBM
+      traffic and footprint — right for the whole-clip scan path where it
+      is hoisted out of the scan, ruinous for large crops batched over many
+      streams (64 x 256x448 crops OOM a 16 GB chip).
+    - ``"slices"``: ``next`` is just the padded (Hp, Wp) image; each point
+      takes one contiguous (win+1, win+1) dynamic slice per iteration.
+      O(points) instead of O(pixels) memory — the live/fleet mode.
+
+    prev/dx/dy windows are sampled once per level via padded dynamic slices
+    either way (cheaper than building three more patch matrices)."""
 
     prev_stack: jnp.ndarray  # (3, Hp, Wp): padded image, dx, dy stacked so
                              # one slice per point fetches all three windows
-    next: jnp.ndarray        # (R, win*win) patch matrix
-    wprime: int              # patch-grid width (static)
+    next: jnp.ndarray        # (R, win*win) patch matrix | (Hp, Wp) image
+    wprime: int              # patch-grid width (static; unused in slices)
     hw: Tuple[int, int]      # unpadded level shape (static)
+    mode: str = "patches"    # next-window sampling mode (static)
 
 
 def _patch_matrix(img_pad: jnp.ndarray, win: int) -> Tuple[jnp.ndarray, int]:
@@ -129,6 +141,25 @@ def _window_slices3(stack: jnp.ndarray, pad: int, by, bx, fy, fx,
 
     w3 = jax.vmap(one)(by, bx, fy, fx)        # (N, 3, win*win)
     return w3[:, 0], w3[:, 1], w3[:, 2]
+
+
+def _window_slices1(img_pad: jnp.ndarray, pad: int, by, bx, fy, fx,
+                    win: int) -> jnp.ndarray:
+    """Bilinear (N, win*win) windows of one padded image via a contiguous
+    (win+1, win+1) dynamic slice per point — bit-identical arithmetic to
+    ``_window_rows`` (same pixels, same weight/add order) without the
+    patch-matrix footprint."""
+
+    def one(by1, bx1, fy1, fx1):
+        grid = jax.lax.dynamic_slice(
+            img_pad, (by1 + pad, bx1 + pad), (win + 1, win + 1))
+        out = (grid[:-1, :-1] * (1 - fy1) * (1 - fx1)
+               + grid[:-1, 1:] * (1 - fy1) * fx1
+               + grid[1:, :-1] * fy1 * (1 - fx1)
+               + grid[1:, 1:] * fy1 * fx1)
+        return out.reshape(-1)
+
+    return jax.vmap(one)(by, bx, fy, fx)
 
 
 def _window_rows(patches: jnp.ndarray, wprime: int, pad: int,
@@ -189,7 +220,12 @@ def _track_level(lp: _LevelPatches, prev_pts, next_pts, status, level, win,
         jby = jp[:, 1].astype(jnp.int32)
         out_next = (jbx < -win) | (jbx >= w) | (jby < -win) | (jby >= h)
 
-        jw = _window_rows(lp.next, lp.wprime, pad, jby, jbx, jfy, jfx)
+        if lp.mode == "slices":
+            jbyc = jnp.clip(jby, -pad, h - 1)
+            jbxc = jnp.clip(jbx, -pad, w - 1)
+            jw = _window_slices1(lp.next, pad, jbyc, jbxc, jfy, jfx, win)
+        else:
+            jw = _window_rows(lp.next, lp.wprime, pad, jby, jbx, jfy, jfx)
         diff = jw - iw
         b1 = jnp.sum(diff * ixw, axis=1)
         b2 = jnp.sum(diff * iyw, axis=1)
@@ -242,13 +278,16 @@ class LKFrameInputs(NamedTuple):
 
     ``stacks``: per-level (3, Hp, Wp) padded (image, dx, dy) — used when
     this frame plays the *prev* role.  ``patches``: per-level (R, win*win)
-    im2col matrices — used when this frame plays the *next* role.  The clip
-    fast path vmaps ``precompute_frame_inputs`` over all frames up front so
-    the sequential scan carries no pyramid/derivative work at all.
+    im2col matrices — used when this frame plays the *next* role in
+    ``"patches"`` sampling mode.  ``images``: per-level (Hp, Wp) padded
+    images — the *next* role in ``"slices"`` mode.  The clip fast path
+    vmaps ``precompute_frame_inputs`` over all frames up front so the
+    sequential scan carries no pyramid/derivative work at all.
     """
 
     stacks: Tuple[jnp.ndarray, ...]
     patches: Tuple[jnp.ndarray, ...]
+    images: Tuple[jnp.ndarray, ...] = ()
 
 
 def level_geometry(h: int, w: int, win: int, max_level: int):
@@ -263,38 +302,47 @@ def level_geometry(h: int, w: int, win: int, max_level: int):
 
 def precompute_frame_inputs(img: jnp.ndarray, win: int = 15,
                             max_level: int = 2, with_stacks: bool = True,
-                            with_patches: bool = True) -> LKFrameInputs:
+                            with_patches: bool = True,
+                            with_images: bool = False) -> LKFrameInputs:
     """Pyramid + Scharr + padding + patch extraction for one frame.
 
-    ``with_stacks``/``with_patches`` skip the prev-role / next-role halves
-    for callers that only need one."""
+    ``with_stacks``/``with_patches``/``with_images`` select the prev-role /
+    patches-mode next-role / slices-mode next-role structures for callers
+    that only need some."""
     pyr = [img]
     for _ in range(max_level):
         pyr.append(pyr_down(pyr[-1]))
     stacks = []
     patches = []
+    images = []
     for p in pyr:
+        padded = _pad_for_windows(p, win, "reflect101") \
+            if (with_stacks or with_patches or with_images) else None
         if with_stacks:
             dxm, dym = _scharr_derivs(p)
             stacks.append(jnp.stack([
-                _pad_for_windows(p, win, "reflect101"),
+                padded,
                 _pad_for_windows(dxm, win, "zero"),
                 _pad_for_windows(dym, win, "zero")]))
         if with_patches:
-            patch, _ = _patch_matrix(
-                _pad_for_windows(p, win, "reflect101"), win)
+            patch, _ = _patch_matrix(padded, win)
             patches.append(patch)
-    return LKFrameInputs(stacks=tuple(stacks), patches=tuple(patches))
+        if with_images:
+            images.append(padded)
+    return LKFrameInputs(stacks=tuple(stacks), patches=tuple(patches),
+                         images=tuple(images))
 
 
 def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
                          pts: jnp.ndarray, valid: jnp.ndarray,
                          shapes, wprimes, win: int = 15, max_level: int = 2,
                          max_iters: int = 10, eps: float = 0.03,
-                         min_eig_thresh: float = 1e-4) -> FlowResult:
+                         min_eig_thresh: float = 1e-4,
+                         sample: str = "patches") -> FlowResult:
     """LK tracking from precomputed frame inputs (see LKFrameInputs).
 
-    ``shapes``/``wprimes`` come from ``level_geometry`` (static)."""
+    ``shapes``/``wprimes`` come from ``level_geometry`` (static);
+    ``sample`` picks the next-window mode (see _LevelPatches)."""
     dtype = prev.stacks[0].dtype
     eps2 = jnp.asarray(min(max(eps, 0.0), 10.0) ** 2, dtype)
 
@@ -303,8 +351,10 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
     status = valid
     for level in range(max_level, -1, -1):
         lp = _LevelPatches(prev_stack=prev.stacks[level],
-                           next=nxt.patches[level],
-                           wprime=wprimes[level], hw=shapes[level])
+                           next=(nxt.images[level] if sample == "slices"
+                                 else nxt.patches[level]),
+                           wprime=wprimes[level], hw=shapes[level],
+                           mode=sample)
         prev_pts = pts / (2.0 ** level)
         next_pts = next_pts * 2.0
         next_pts, status = _track_level(
@@ -327,13 +377,19 @@ def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
     Returns tracked positions and per-point status; invalid inputs stay
     invalid.  Mirrors the reference call site base.py:371-372.  (Live-path
     wrapper; the whole-clip scan uses the precomputed-inputs variant.)
-    """
+
+    Uses "slices" next-window sampling: the live/fleet step re-tracks ~100
+    points per frame, so per-point dynamic slices beat materializing the
+    whole im2col patch matrix (which costs ~(win*win)x the image in HBM
+    traffic per frame per stream and OOMs 64-stream 1080p fleets).
+    Bit-identical to the patches mode (same pixels, same FP order)."""
     h, w = prev_img.shape
     shapes, wprimes = level_geometry(h, w, win, max_level)
     prev = precompute_frame_inputs(prev_img, win, max_level,
                                    with_patches=False)
     nxt = precompute_frame_inputs(next_img, win, max_level,
-                                  with_stacks=False)
+                                  with_stacks=False, with_patches=False,
+                                  with_images=True)
     return lk_track_precomputed(prev, nxt, pts, valid, tuple(shapes),
                                 tuple(wprimes), win, max_level, max_iters,
-                                eps, min_eig_thresh)
+                                eps, min_eig_thresh, sample="slices")

@@ -71,9 +71,10 @@ class StreamStepResult(NamedTuple):
 def _monitor_step_batched(states: motion.MeasureState, frames: jnp.ndarray,
                           spec: motion.MeasureSpec,
                           coeffs: filters.FilterCoeffs, min_dist: int,
-                          cfg) -> StreamStepResult:
+                          cfg, initialized: bool = False) -> StreamStepResult:
     def one(state, frame):
-        state, sample = motion.measure_step(state, frame, spec)
+        state, sample = motion.measure_step(state, frame, spec,
+                                            initialized_hint=initialized)
         res = bpm_mod.estimate_bpm(state.data, state.t, state.count,
                                    coeffs, min_dist, cfg)
         ran = state.count > cfg.initialization_length
@@ -84,24 +85,30 @@ def _monitor_step_batched(states: motion.MeasureState, frames: jnp.ndarray,
                             has_bpm=has, error=err)
 
 
-@partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg"))
+@partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg",
+                                   "initialized"))
 def monitor_step_streams(states: motion.MeasureState, frames: jnp.ndarray,
                          spec: motion.MeasureSpec,
                          coeffs: filters.FilterCoeffs, min_dist: int,
-                         cfg) -> StreamStepResult:
+                         cfg, initialized: bool = False) -> StreamStepResult:
     """One live monitoring step for S streams at once (single-device /
     GSPMD path).  NOTE: under GSPMD sharding the vmapped ``while_loop``
     conditions reduce across ALL streams, inserting per-iteration
     all-reduces; multi-chip deployments should use
     ``make_sharded_monitor_step`` (shard_map) instead, where each chip's
-    loops exit independently."""
-    return _monitor_step_batched(states, frames, spec, coeffs, min_dist, cfg)
+    loops exit independently.
+
+    ``initialized=True`` (static) compiles the steady-state program with no
+    corner-detection branch (see motion.measure_step)."""
+    return _monitor_step_batched(states, frames, spec, coeffs, min_dist,
+                                 cfg, initialized)
 
 
 @lru_cache(maxsize=64)
 def make_sharded_monitor_step(mesh: Mesh, spec: motion.MeasureSpec,
                               coeffs: filters.FilterCoeffs, min_dist: int,
-                              cfg, axis: str = "streams"):
+                              cfg, axis: str = "streams",
+                              initialized: bool = False):
     """shard_map-wrapped stream step: the per-chip program is completely
     local (zero collectives — each chip monitors its own kennels), so
     convergence loops on one chip never stall another."""
@@ -109,7 +116,7 @@ def make_sharded_monitor_step(mesh: Mesh, spec: motion.MeasureSpec,
 
     def local(states, frames):
         return _monitor_step_batched(states, frames, spec, coeffs,
-                                     min_dist, cfg)
+                                     min_dist, cfg, initialized)
 
     # check_vma=False: the step is collective-free by construction (verified
     # in tests via HLO inspection); the varying-axis analysis rejects scan
@@ -176,7 +183,10 @@ class MultiStreamMonitor:
         self.dtype = dtype
         self.spec: Optional[motion.MeasureSpec] = None
         self.states: Optional[motion.MeasureState] = None
-        self._step_fn = None
+        # True until every stream has taken its corner-detection step; the
+        # steady-state program (the common case) then compiles without the
+        # first-frame branch (batched cond executes BOTH sides).
+        self._needs_init = True
         self.coeffs = filters.design_butter_lowpass(
             cfg.calibration.freq_max * 0.5, self.fps,
             cfg.measure.filter_order)
@@ -198,7 +208,7 @@ class MultiStreamMonitor:
             self.cfg, self.frame_hw[0], self.frame_hw[1], wmax, hmax,
             self.fps)
         self.states = init_stream_states(self.spec, boxes, self.dtype)
-        self._step_fn = None  # spec may have changed
+        self._needs_init = True
         if self.mesh is not None:
             self.states = shard_streams(self.states, self.mesh)
         return loc
@@ -252,6 +262,8 @@ class MultiStreamMonitor:
         self.states = jax.tree_util.tree_map(merge, self.states, fresh)
         if self.mesh is not None:
             self.states = shard_streams(self.states, self.mesh)
+        if bool(np.asarray(apply).any()):
+            self._needs_init = True  # fresh streams re-detect corners
         # Report the boxes actually installed (clipped where applicable).
         return BatchedLocate(found=loc.found,
                              boxes=jnp.asarray(boxes, jnp.int32))
@@ -260,16 +272,18 @@ class MultiStreamMonitor:
         """frames: (S, H, W) — one new frame per stream."""
         assert self.states is not None, "calibrate() first"
         dev = jnp.asarray(frames, self.dtype)
+        initialized = not self._needs_init
         if self.mesh is not None:
             dev = shard_streams(dev, self.mesh)
-            if self._step_fn is None:
-                self._step_fn = make_sharded_monitor_step(
-                    self.mesh, self.spec, self.coeffs, self.min_dist,
-                    self.cfg.measure)
-            res = self._step_fn(self.states, dev)
+            fn = make_sharded_monitor_step(
+                self.mesh, self.spec, self.coeffs, self.min_dist,
+                self.cfg.measure, initialized=initialized)
+            res = fn(self.states, dev)
         else:
             res = monitor_step_streams(self.states, dev, self.spec,
                                        self.coeffs, self.min_dist,
-                                       self.cfg.measure)
+                                       self.cfg.measure,
+                                       initialized=initialized)
         self.states = res.state
+        self._needs_init = False
         return res

@@ -147,11 +147,19 @@ def _push(ring: jnp.ndarray, value) -> jnp.ndarray:
 
 
 def measure_step(state: MeasureState, frame: jnp.ndarray,
-                 spec: MeasureSpec) -> Tuple[MeasureState, jnp.ndarray]:
+                 spec: MeasureSpec,
+                 initialized_hint: bool = False
+                 ) -> Tuple[MeasureState, jnp.ndarray]:
     """One frame of the measure state: crop -> motion value -> ring push.
 
     Returns (new_state, sample).  ``new_state.error`` reports the reference's
     error triggers (no keypoints at init / NaN from lost tracking).
+
+    ``initialized_hint`` (static) promises every batched state already has
+    ``initialized=True`` so the compiled program can omit the first-frame
+    corner-detection branch entirely.  This matters for vmapped fleets:
+    batched ``lax.cond`` lowers to a select that executes BOTH branches, so
+    without the hint Shi-Tomasi runs over every stream's crop every step.
     """
     crop, mask, _ = _crop_and_mask(frame, state.roi, spec)
 
@@ -161,7 +169,8 @@ def measure_step(state: MeasureState, frame: jnp.ndarray,
         new_state = state
         error = state.error
     else:
-        sample, new_state, error = _flow_motion(state, crop, mask, spec)
+        sample, new_state, error = _flow_motion(state, crop, mask, spec,
+                                                initialized_hint)
 
     t_next = jnp.where(state.count == 0, 0.0,
                        state.t[-1] + 1.0 / spec.fps)
@@ -208,7 +217,8 @@ def flow_update(fr, pts, valid, motion_xy, motion_count,
     return sample, good, motion_xy, motion_count, lost
 
 
-def _flow_motion(state: MeasureState, crop, mask, spec: MeasureSpec):
+def _flow_motion(state: MeasureState, crop, mask, spec: MeasureSpec,
+                 initialized_hint: bool = False):
     crop_u8 = _to_u8_scale(jnp.where(mask, crop, 0.0))
 
     def first_frame(state):
@@ -239,4 +249,6 @@ def _flow_motion(state: MeasureState, crop, mask, spec: MeasureSpec):
             motion_xy=motion_xy, motion_count=motion_count)
         return sample, new, lost
 
+    if initialized_hint:
+        return track_frame(state)
     return jax.lax.cond(state.initialized, track_frame, first_frame, state)
