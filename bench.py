@@ -43,9 +43,19 @@ def log(msg):
 
 
 def _timed(fn, iters):
+    """Average seconds/call over ``iters`` calls of ``fn(i)``.
+
+    Two tunnel-deployment rules (BENCHMARKS.md methodology): ``fn`` must do
+    DISTINCT work per ``i`` (the dispatch layer memoizes identical calls)
+    and must RETURN a (small) device array depending on that work — the
+    loop ends with a host fetch of the last result because
+    ``block_until_ready`` acknowledges dispatch, not completion, through
+    the tunnel."""
     t0 = time.time()
-    for _ in range(iters):
-        fn()
+    last = None
+    for i in range(iters):
+        last = fn(i)
+    np.asarray(last)  # flush: forces the dependent chain to finish
     return (time.time() - t0) / iters
 
 
@@ -110,39 +120,37 @@ def main_headline():
             f"admits a spurious early peak the reference chain also keeps, "
             f"see tests/golden parity)")
 
-    # --- timed: device-resident (kernel throughput)
+    # --- timed: device-resident (kernel throughput).  Each iteration works
+    # on a perturbed copy staged in HBM (distinct dispatches; see _timed).
     iters = 5
+    cal_v = [cal + jnp.float32(i * 1e-6) for i in range(iters)]
+    rest_v = [rest + jnp.float32(i * 1e-6) for i in range(iters)]
+    np.asarray(cal_v[-1][0, 0, 0]), np.asarray(rest_v[-1][0, 0, 0])
 
-    def run_cal():
-        jax.block_until_ready(
-            evm.locate(cal, fps_video, cfg.calibration).found)
-
-    def run_meas():
-        jax.block_until_ready(
-            scan.measure_clip(rest, roi, spec, coeffs, 10,
-                              cfg.measure).samples)
-
-    t_cal = _timed(run_cal, iters)
-    t_meas = _timed(run_meas, iters)
+    t_cal = _timed(lambda i: evm.locate(
+        cal_v[i], fps_video, cfg.calibration).heatmap_u8, iters)
+    t_meas = _timed(lambda i: scan.measure_clip(
+        rest_v[i], roi, spec, coeffs, 10, cfg.measure).samples, iters)
 
     # --- timed: with host->device upload each iteration (cold-client
     # end-to-end; surfaces the H2D cost the feeder hides in production).
-    def run_cal_up():
-        dev = jax.device_put(cal_np)
-        jax.block_until_ready(
-            evm.locate(dev, fps_video, cfg.calibration).found)
+    cal_np_v = [cal_np + np.float32(i * 1e-6) for i in range(iters)]
+    rest_np_v = [rest_np + np.float32(i * 1e-6) for i in range(iters)]
 
-    def run_meas_up():
-        dev = jax.device_put(rest_np)
-        jax.block_until_ready(
-            scan.measure_clip(dev, roi, spec, coeffs, 10,
-                              cfg.measure).samples)
+    def run_cal_up(i):
+        dev = jax.device_put(cal_np_v[i])
+        return evm.locate(dev, fps_video, cfg.calibration).heatmap_u8
 
-    run_cal_up()  # possible reshard/transfer compile, excluded
+    def run_meas_up(i):
+        dev = jax.device_put(rest_np_v[i])
+        return scan.measure_clip(dev, roi, spec, coeffs, 10,
+                                 cfg.measure).samples
+
+    np.asarray(run_cal_up(0))  # possible reshard/transfer compile, excluded
     up_probe0 = time.time()
-    run_cal_up()
+    np.asarray(run_cal_up(1))
     up_probe = time.time() - up_probe0
-    up_iters = 5 if up_probe < 1.0 else 2
+    up_iters = iters if up_probe < 1.0 else 2
     t_cal_up = _timed(run_cal_up, up_iters)
     t_meas_up = _timed(run_meas_up, up_iters)
 
@@ -205,8 +213,10 @@ def main_multistream(streams: int = 64):
     assert bool(loc.found)
     x, y, w, h = int(loc.x), int(loc.y), int(loc.w), int(loc.h)
     log(f"1080p roi: {(x, y, w, h)}")
-    t_cal = _timed(lambda: jax.block_until_ready(
-        evm.locate(cal_dev, fps_video, cfg.calibration).found), 3)
+    # Perturb in-call so each timed dispatch is distinct (see _timed).
+    t_cal = _timed(lambda i: evm.locate(
+        cal_dev + jnp.float32(1e-6 * (i + 1)), fps_video,
+        cfg.calibration).heatmap_u8, 3)
     log(f"1080p recalibration unit: {t_cal*1e3:.1f} ms "
         f"({cfg.calibration.buffer_length / fps_video / t_cal:.0f}x "
         f"real-time)")
@@ -217,26 +227,37 @@ def main_multistream(streams: int = 64):
     mon = fleet.MultiStreamMonitor(cfg, mesh=None, frame_hw=(H, W),
                                    fps=fps_video)
     boxes = np.tile(np.asarray([[x, y, w, h]], np.int32), (streams, 1))
-    mon.spec = motion.MeasureSpec.for_roi(cfg, H, W, w, h, fps_video)
+    spec = motion.MeasureSpec.for_roi(cfg, H, W, w, h, fps_video)
+    import dataclasses as _dc
+    mon.spec = _dc.replace(spec, lk_sample=fleet.fleet_lk_sample(
+        cfg, spec.crop_h, spec.crop_w, streams))
+    log(f"crop bucket {mon.spec.crop_h}x{mon.spec.crop_w}, "
+        f"lk_sample={mon.spec.lk_sample}")
     mon.states = fleet.init_stream_states(mon.spec, boxes)
 
+    # Three device-resident frame batches with real ±1 px inter-frame
+    # shifts: the timed steps then do genuine LK tracking work (constant
+    # frames would converge in one Newton iteration and flatter the step).
     rng = np.random.default_rng(0)
     frames_np = rng.random((streams, H, W), np.float32) * 0.2 + 0.4
-    frames_dev = jnp.asarray(frames_np)
-    jax.block_until_ready(frames_dev)
+    frames_v = [jnp.asarray(np.roll(frames_np, s, axis=2))
+                for s in (0, 1, 2)]
+    np.asarray(frames_v[-1][0, 0, :4])
 
-    log("compiling fleet step...")
+    log("compiling fleet step (init + steady-state programs)...")
     t0 = time.time()
-    r = mon.step(frames_dev)
-    jax.block_until_ready(r.samples)
-    log(f"fleet step compile+first run: {time.time()-t0:.1f}s")
+    r = mon.step(frames_v[0])   # corner-detection step (init program)
+    np.asarray(r.samples)
+    r = mon.step(frames_v[1])   # steady-state program
+    np.asarray(r.samples)
+    log(f"fleet step compile+first runs: {time.time()-t0:.1f}s")
 
-    def run_step():
-        jax.block_until_ready(mon.step(frames_dev).samples)
+    def run_step(i):
+        return mon.step(frames_v[i % 3]).samples
 
-    # Warm a few steps so tracking state reaches steady shape.
-    for _ in range(3):
-        run_step()
+    # Warm so tracking state reaches steady shape.
+    for i in range(3):
+        np.asarray(run_step(i))
     t_step = _timed(run_step, 10)
     sfps = streams / t_step
     margin = (1.0 / fps_video) / t_step

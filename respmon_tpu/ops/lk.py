@@ -110,18 +110,24 @@ class _LevelPatches(NamedTuple):
     mode: str = "patches"    # next-window sampling mode (static)
 
 
-def _patch_matrix(img_pad: jnp.ndarray, win: int) -> Tuple[jnp.ndarray, int]:
+def _patch_matrix(img_pad: jnp.ndarray, win: int,
+                  dtype=None) -> Tuple[jnp.ndarray, int]:
     """All win x win patches of a padded image as rows: (R, win*win).
 
     ``conv_general_dilated_patches`` rides the MXU's conv path; a
     slice-and-stack formulation measures ~18x slower on TPU (225 strided
     copies with hostile layouts), so the conv extraction wins despite its
-    nominal MAC overhead."""
+    nominal MAC overhead.
+
+    ``dtype`` stores the matrix narrower (bf16 halves the dominant HBM
+    footprint/traffic; uint8-scale level-0 pixels are integers <= 255 and
+    thus EXACT in bf16 — only downsampled levels round)."""
     p = jax.lax.conv_general_dilated_patches(
         img_pad[None, None], filter_shape=(win, win),
         window_strides=(1, 1), padding="VALID")
     _, c, hp, wp = p.shape
-    return p[0].reshape(c, hp * wp).T, wp
+    m = p[0].reshape(c, hp * wp).T
+    return (m if dtype is None else m.astype(dtype)), wp
 
 
 def _window_slices3(stack: jnp.ndarray, pad: int, by, bx, fy, fx,
@@ -170,10 +176,14 @@ def _window_rows(patches: jnp.ndarray, wprime: int, pad: int,
     ry = jnp.clip(by + pad, 0, hlim)
     rx = jnp.clip(bx + pad, 0, wprime - 2)
     r = ry * wprime + rx
-    p00 = jnp.take(patches, r, axis=0)
-    p01 = jnp.take(patches, r + 1, axis=0)
-    p10 = jnp.take(patches, r + wprime, axis=0)
-    p11 = jnp.take(patches, r + wprime + 1, axis=0)
+    # Row-takes come back in the matrix dtype; combine in the weight dtype
+    # (f32) so a bf16-stored matrix only rounds the stored pixels, not the
+    # bilinear arithmetic.
+    up = fy.dtype
+    p00 = jnp.take(patches, r, axis=0).astype(up)
+    p01 = jnp.take(patches, r + 1, axis=0).astype(up)
+    p10 = jnp.take(patches, r + wprime, axis=0).astype(up)
+    p11 = jnp.take(patches, r + wprime + 1, axis=0).astype(up)
     fy = fy[:, None]
     fx = fx[:, None]
     return (p00 * (1 - fy) * (1 - fx) + p01 * (1 - fy) * fx
@@ -303,12 +313,14 @@ def level_geometry(h: int, w: int, win: int, max_level: int):
 def precompute_frame_inputs(img: jnp.ndarray, win: int = 15,
                             max_level: int = 2, with_stacks: bool = True,
                             with_patches: bool = True,
-                            with_images: bool = False) -> LKFrameInputs:
+                            with_images: bool = False,
+                            patch_dtype=None) -> LKFrameInputs:
     """Pyramid + Scharr + padding + patch extraction for one frame.
 
     ``with_stacks``/``with_patches``/``with_images`` select the prev-role /
     patches-mode next-role / slices-mode next-role structures for callers
-    that only need some."""
+    that only need some.  ``patch_dtype`` optionally narrows the stored
+    patch matrices (see _patch_matrix)."""
     pyr = [img]
     for _ in range(max_level):
         pyr.append(pyr_down(pyr[-1]))
@@ -325,7 +337,7 @@ def precompute_frame_inputs(img: jnp.ndarray, win: int = 15,
                 _pad_for_windows(dxm, win, "zero"),
                 _pad_for_windows(dym, win, "zero")]))
         if with_patches:
-            patch, _ = _patch_matrix(padded, win)
+            patch, _ = _patch_matrix(padded, win, dtype=patch_dtype)
             patches.append(patch)
         if with_images:
             images.append(padded)
@@ -366,30 +378,41 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
 
 
 @partial(jax.jit, static_argnames=("win", "max_level", "max_iters", "eps",
-                                   "min_eig_thresh"))
+                                   "min_eig_thresh", "sample"))
 def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
                              pts: jnp.ndarray, valid: jnp.ndarray,
                              win: int = 15, max_level: int = 2,
                              max_iters: int = 10, eps: float = 0.03,
-                             min_eig_thresh: float = 1e-4) -> FlowResult:
+                             min_eig_thresh: float = 1e-4,
+                             sample: str = "slices") -> FlowResult:
     """Track masked points from prev_img to next_img ((H, W), [0,255] scale).
 
     Returns tracked positions and per-point status; invalid inputs stay
     invalid.  Mirrors the reference call site base.py:371-372.  (Live-path
     wrapper; the whole-clip scan uses the precomputed-inputs variant.)
 
-    Uses "slices" next-window sampling: the live/fleet step re-tracks ~100
-    points per frame, so per-point dynamic slices beat materializing the
-    whole im2col patch matrix (which costs ~(win*win)x the image in HBM
-    traffic per frame per stream and OOMs 64-stream 1080p fleets).
-    Bit-identical to the patches mode (same pixels, same FP order)."""
+    ``sample`` selects the next-window sampling (measured on a 64-stream
+    256x448-crop fleet, v5e):
+
+    - ``"slices"`` (default): per-point dynamic slices.  O(points) memory,
+      bit-identical to patches mode (same pixels, same FP order), but TPU
+      2D window gathers cost ~11 ms/Newton-iteration at fleet scale.
+    - ``"patches16"``: bf16 im2col patch matrix + f32 upcast after the row
+      gather.  ~0.6 ms/iteration (row-takes ride the fast gather layout)
+      + ~20 ms build; pixels round to bf16 on downsampled levels (level 0
+      is exact — uint8-scale integers).  The fleet's throughput mode.
+    - ``"patches"``: f32 im2col — exact, 2x the build traffic/footprint of
+      patches16; OOMs 64-stream 1080p fleets.  The whole-clip scan path
+      uses this (matrix hoisted out of the scan, modest crop sizes)."""
     h, w = prev_img.shape
     shapes, wprimes = level_geometry(h, w, win, max_level)
     prev = precompute_frame_inputs(prev_img, win, max_level,
                                    with_patches=False)
-    nxt = precompute_frame_inputs(next_img, win, max_level,
-                                  with_stacks=False, with_patches=False,
-                                  with_images=True)
+    nxt = precompute_frame_inputs(
+        next_img, win, max_level, with_stacks=False,
+        with_patches=sample in ("patches", "patches16"),
+        with_images=sample == "slices",
+        patch_dtype=jnp.bfloat16 if sample == "patches16" else None)
     return lk_track_precomputed(prev, nxt, pts, valid, tuple(shapes),
                                 tuple(wprimes), win, max_level, max_iters,
-                                eps, min_eig_thresh, sample="slices")
+                                eps, min_eig_thresh, sample=sample)

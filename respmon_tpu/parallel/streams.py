@@ -15,6 +15,7 @@ over streams, rounded to the configured bucket size).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import lru_cache, partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -147,6 +148,35 @@ def make_sharded_locate(mesh: Mesh, fps: float, cfg,
                                  out_specs=p, check_vma=False))
 
 
+_PATCH_BUDGET_BYTES = 4 << 30   # fleet-wide bf16 patch-matrix allowance
+
+
+def fleet_lk_sample(cfg: MonitorConfig, crop_h: int, crop_w: int,
+                    n_streams: int) -> str:
+    """Pick the fleet's LK next-window sampling mode.
+
+    bf16 im2col patch matrices cut the Newton-iteration gather from ~11 ms
+    to ~0.6 ms at 64-stream scale (row-takes ride the fast gather layout),
+    at ~(win^2)/2 x the crop in HBM per stream per frame; fall back to the
+    exact O(points) slice sampling when the fleet-wide footprint would
+    crowd HBM.  Non-TPU backends (CPU tests, parity work) always use the
+    exact mode."""
+    import jax as _jax
+
+    if _jax.default_backend() not in ("tpu", "axon"):
+        return "slices"
+    win = cfg.lk.win_size[0]
+    pad = win + 2
+    total = 0
+    h, w = crop_h, crop_w
+    for _ in range(cfg.lk.max_level + 1):
+        hp, wp = h + 2 * pad, w + 2 * pad
+        total += (hp - win + 1) * (wp - win + 1) * win * win * 2
+        h, w = (h + 1) // 2, (w + 1) // 2
+    return "patches16" if total * n_streams <= _PATCH_BUDGET_BYTES \
+        else "slices"
+
+
 def init_stream_states(spec: motion.MeasureSpec, rois: np.ndarray,
                        dtype=jnp.float32) -> motion.MeasureState:
     """Batched initial states from per-stream ROIs (S, 4)."""
@@ -204,9 +234,12 @@ class MultiStreamMonitor:
         boxes = np.asarray(loc.boxes)
         wmax = int(boxes[:, 2].max(initial=1))
         hmax = int(boxes[:, 3].max(initial=1))
-        self.spec = motion.MeasureSpec.for_roi(
+        spec = motion.MeasureSpec.for_roi(
             self.cfg, self.frame_hw[0], self.frame_hw[1], wmax, hmax,
             self.fps)
+        self.spec = dataclasses.replace(
+            spec, lk_sample=fleet_lk_sample(self.cfg, spec.crop_h,
+                                            spec.crop_w, boxes.shape[0]))
         self.states = init_stream_states(self.spec, boxes, self.dtype)
         self._needs_init = True
         if self.mesh is not None:

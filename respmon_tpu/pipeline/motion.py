@@ -46,6 +46,10 @@ class MeasureSpec:
     fps: float
     features: FeatureParams = FeatureParams()
     lk: LKParams = LKParams()
+    # LK next-window sampling mode for the live step (see
+    # ops/lk.py calc_optical_flow_pyr_lk): 'slices' is exact and O(points)
+    # memory; 'patches16' is the fleet throughput mode.
+    lk_sample: str = "slices"
 
     @staticmethod
     def bucket(dim: int, bucket: int, cap: int) -> int:
@@ -53,13 +57,14 @@ class MeasureSpec:
 
     @classmethod
     def for_roi(cls, cfg: MonitorConfig, frame_h: int, frame_w: int,
-                roi_w: int, roi_h: int, fps: float) -> "MeasureSpec":
+                roi_w: int, roi_h: int, fps: float,
+                lk_sample: str = "slices") -> "MeasureSpec":
         return cls(frame_h=frame_h, frame_w=frame_w,
                    crop_h=cls.bucket(roi_h, cfg.roi_bucket, frame_h),
                    crop_w=cls.bucket(roi_w, cfg.roi_bucket, frame_w),
                    buffer_length=cfg.measure.buffer_length,
                    method=cfg.motion_extraction_method, fps=fps,
-                   features=cfg.features, lk=cfg.lk)
+                   features=cfg.features, lk=cfg.lk, lk_sample=lk_sample)
 
 
 class MeasureState(NamedTuple):
@@ -238,7 +243,8 @@ def _flow_motion(state: MeasureState, crop, mask, spec: MeasureSpec,
             state.prev_crop, crop_u8.astype(state.prev_crop.dtype),
             state.pts, state.pts_valid,
             win=spec.lk.win_size[0], max_level=spec.lk.max_level,
-            max_iters=spec.lk.max_iters, eps=spec.lk.epsilon)
+            max_iters=spec.lk.max_iters, eps=spec.lk.epsilon,
+            sample=spec.lk_sample)
         sample, good, motion_xy, motion_count, lost = flow_update(
             fr, state.pts, state.pts_valid, state.motion_xy,
             state.motion_count, spec.buffer_length, crop.dtype)

@@ -137,3 +137,37 @@ def test_lk_invalid_inputs_stay_invalid():
         jnp.asarray(u0, jnp.float32), jnp.asarray(u0, jnp.float32),
         pts, valid)
     assert not bool(np.asarray(fr.status).any())
+
+
+@pytest.mark.parametrize("sample", ["patches", "patches16"])
+def test_lk_sampling_modes_agree(sample):
+    # "slices" (the live default) is bit-identical to "patches" (same
+    # pixels, same FP order); "patches16" stores the im2col matrix in bf16
+    # (level-0 uint8-scale pixels are exact; downsampled levels round) so
+    # tracked points agree to well under the cv2-parity tolerance.
+    from scipy.ndimage import gaussian_filter, shift as ndshift
+
+    rng = np.random.default_rng(7)
+    h, w = 64, 80
+    base = gaussian_filter(rng.random((h + 16, w + 16)) * 0.5 + 0.25, 1.0)
+    img0 = base[8:8 + h, 8:8 + w]
+    img1 = ndshift(base, (0.7, -1.3), order=3)[8:8 + h, 8:8 + w]
+    u0 = jnp.asarray(np.clip(img0 * 255, 0, 255).astype(np.uint8),
+                     jnp.float32)
+    u1 = jnp.asarray(np.clip(img1 * 255, 0, 255).astype(np.uint8),
+                     jnp.float32)
+    p0 = cv2.goodFeaturesToTrack(np.asarray(u0, np.uint8), **GF_KW)
+    pts = jnp.asarray(p0[:, 0, :])
+    valid = jnp.ones((len(p0),), bool)
+
+    ref = lk_mod.calc_optical_flow_pyr_lk(u0, u1, pts, valid,
+                                          sample="slices")
+    got = lk_mod.calc_optical_flow_pyr_lk(u0, u1, pts, valid, sample=sample)
+    np.testing.assert_array_equal(np.asarray(ref.status),
+                                  np.asarray(got.status))
+    d = np.abs(np.asarray(ref.pts) - np.asarray(got.pts))
+    both = np.asarray(ref.status)
+    if sample == "patches":
+        assert d[both].max() == 0.0, "patches must be bit-identical"
+    else:
+        assert d[both].max() < 0.05, f"patches16 deviation {d[both].max()}"

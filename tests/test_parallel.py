@@ -233,3 +233,37 @@ def test_locate_tsharded_collectives_are_expected():
     ).compile().as_text()
     assert "reduce-scatter" in txt or "all-reduce" in txt
     assert "all-to-all" not in txt
+
+
+def test_fleet_patches16_step_close_to_slices():
+    # The fleet's TPU throughput mode (bf16 im2col LK sampling) must agree
+    # with the exact slice mode within bf16 rounding on a live step chain.
+    import dataclasses
+
+    from respmon_tpu.ops import filters
+    from respmon_tpu.pipeline import motion
+
+    clips = _stream_clips(4, 40)
+    spec = motion.MeasureSpec.for_roi(SMALL_CFG, clips.shape[2],
+                                      clips.shape[3], 30, 24, FPS)
+    coeffs = filters.design_butter_lowpass(
+        SMALL_CFG.calibration.freq_max * 0.5, FPS,
+        SMALL_CFG.measure.filter_order)
+    boxes = np.tile(np.asarray([[2, 2, 30, 24]], np.int32), (4, 1))
+
+    results = {}
+    for mode in ("slices", "patches16"):
+        sp = dataclasses.replace(spec, lk_sample=mode)
+        states = streams_mod.init_stream_states(sp, boxes)
+        samples = []
+        for t in range(8):
+            res = streams_mod.monitor_step_streams(
+                states, jnp.asarray(clips[:, t]), sp, coeffs, 3,
+                SMALL_CFG.measure, initialized=t > 0)
+            states = res.state
+            samples.append(np.asarray(res.samples))
+        results[mode] = np.stack(samples)
+        assert not np.asarray(states.error).any()
+
+    np.testing.assert_allclose(results["patches16"], results["slices"],
+                               atol=5e-3)
