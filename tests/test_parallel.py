@@ -267,3 +267,58 @@ def test_fleet_patches16_step_close_to_slices():
 
     np.testing.assert_allclose(results["patches16"], results["slices"],
                                atol=5e-3)
+
+
+def test_locate_wsharded_bit_identical_to_single_device():
+    # Whole-EVM W-sharded calibration: sharded pyramid/bandpass/collapse
+    # with halo exchange, replicated deep tail, replicated finish.  All
+    # cross-shard reductions are min/max/concat, so the result must be
+    # BIT-identical to the single-device locate.
+    from respmon_tpu.parallel.spatial import locate_wsharded
+    from respmon_tpu.pipeline import evm
+
+    mesh = make_mesh(axis_names=("space",))
+    cfg = CalibrationConfig(buffer_length=16, pyramid_levels=4,
+                            skip_levels_at_top=1)
+    clip = breathing_clip(num_frames=16, height=48, width=64, fps=FPS,
+                          bpm=18.0, patch_center=(24, 32),
+                          patch_size=(16, 20), amplitude=0.2, seed=3)
+    vid = jnp.asarray(clip, jnp.float32)
+
+    want = evm.locate(vid, FPS, cfg)
+    got = locate_wsharded(vid, mesh, FPS, cfg, axis="space")
+
+    assert bool(got.found) == bool(want.found)
+    assert (int(got.x), int(got.y), int(got.w), int(got.h)) == \
+        (int(want.x), int(want.y), int(want.w), int(want.h))
+    np.testing.assert_array_equal(np.asarray(got.heatmap_u8),
+                                  np.asarray(want.heatmap_u8))
+    np.testing.assert_array_equal(np.asarray(got.thresh),
+                                  np.asarray(want.thresh))
+    np.testing.assert_array_equal(np.asarray(got.raw_heat_u8),
+                                  np.asarray(want.raw_heat_u8))
+
+
+def test_locate_wsharded_deep_pyramid_sharded_boundaries():
+    # A deeper pyramid exercises both boundary cases: sharded lap with a
+    # replicated pyrUp source, and the replicated->sharded collapse
+    # re-entry.  Width 128 over 8 shards: levels 0 (16/shard) and 1
+    # (8/shard) sharded, 2+ replicated.
+    from respmon_tpu.parallel.spatial import locate_wsharded
+    from respmon_tpu.pipeline import evm
+
+    mesh = make_mesh(axis_names=("space",))
+    cfg = CalibrationConfig(buffer_length=16, pyramid_levels=5,
+                            skip_levels_at_top=1)
+    clip = breathing_clip(num_frames=16, height=96, width=128, fps=FPS,
+                          bpm=20.0, patch_center=(48, 64),
+                          patch_size=(30, 40), amplitude=0.2, seed=5)
+    vid = jnp.asarray(clip, jnp.float32)
+
+    want = evm.locate(vid, FPS, cfg)
+    got = locate_wsharded(vid, mesh, FPS, cfg, axis="space")
+    assert bool(got.found) == bool(want.found)
+    assert (int(got.x), int(got.y), int(got.w), int(got.h)) == \
+        (int(want.x), int(want.y), int(want.w), int(want.h))
+    np.testing.assert_array_equal(np.asarray(got.heatmap_u8),
+                                  np.asarray(want.heatmap_u8))
