@@ -271,13 +271,33 @@ def main_multistream(streams: int = 64):
         f"-> {sfps:.0f} stream-frames/sec/chip, {margin:.1f}x real-time "
         f"margin at {fps_video:.0f} fps")
 
+    # K-frame lockstep batches (step_many): fixed dispatch/gather latency
+    # amortizes over K; costs K frames of result latency.  K=4 with two
+    # resident batch variants keeps the staged frames at ~4 GB HBM.
+    K = 4
+    batch_v = [jnp.stack([frames_v[(i + k) % 3] for k in range(K)])
+               for i in range(2)]
+    np.asarray(batch_v[-1][0, 0, 0, :4])
+    log(f"compiling {K}-frame step_many...")
+    t0 = time.time()
+    np.asarray(mon.step_many(batch_v[0]).samples)
+    log(f"step_many compile+first run: {time.time()-t0:.1f}s")
+    t_batch = _timed(lambda i: mon.step_many(batch_v[i % 2]).samples, 6)
+    sfps_b = streams * K / t_batch
+    margin_b = (K / fps_video) / t_batch
+    log(f"{streams}-stream {K}-frame batch: {t_batch*1e3:.1f} ms "
+        f"({t_batch/K*1e3:.1f} ms/frame) -> {sfps_b:.0f} "
+        f"stream-frames/sec/chip, {margin_b:.1f}x real-time margin")
+
     print(json.dumps({
         "metric": f"multistream_{streams}x1080p_flow_monitoring",
-        "value": round(sfps, 1),
+        "value": round(sfps_b, 1),
         "unit": "stream-frames/sec/chip",
-        "vs_baseline": round(sfps / REFERENCE_BEST_FPS, 1),
+        "vs_baseline": round(sfps_b / REFERENCE_BEST_FPS, 1),
         "step_ms": round(t_step * 1e3, 2),
         "realtime_margin_at_10fps": round(margin, 2),
+        f"batch{K}_ms_per_frame": round(t_batch / K * 1e3, 2),
+        f"batch{K}_realtime_margin": round(margin_b, 2),
         "recalibration_1080p_ms": round(t_cal * 1e3, 1),
     }))
 

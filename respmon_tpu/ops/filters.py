@@ -156,6 +156,11 @@ def lfilter_assoc(coeffs: FilterCoeffs, x: jnp.ndarray,
     of small (order x order) matmuls instead of T sequential steps — the
     idiomatic TPU formulation for IIR chains (identical math, regrouped
     rounding).  1-D input only; batch via vmap.
+
+    The prefix runs as Hillis-Steele doubling with CONTIGUOUS pad+slice
+    shifts rather than ``lax.associative_scan``, whose lowering emits
+    stride-2 interleaved slices that relayout poorly on TPU (~8x cost and
+    far larger compiles at scale — same finding as ops/ccl.py).
     """
     dtype = x.dtype
     p = coeffs.order
@@ -171,12 +176,19 @@ def lfilter_assoc(coeffs: FilterCoeffs, x: jnp.ndarray,
     v = c[None, :] * x[:, None]                     # (T, p)
     M = jnp.broadcast_to(A, (n, p, p))
 
-    def combine(e1, e2):
-        m1, v1 = e1
-        m2, v2 = e2
-        return m2 @ m1, jnp.einsum("...ij,...j->...i", m2, v1) + v2
-
-    prefM, prefV = jax.lax.associative_scan(combine, (M, v))
+    eye = jnp.broadcast_to(jnp.eye(p, dtype=dtype), (1, p, p))
+    zero = jnp.zeros((1, p), dtype)
+    d = 1
+    while d < n:
+        # Earlier prefix shifted forward by d; identity fill at the front.
+        ms = jnp.concatenate([jnp.broadcast_to(eye, (d, p, p)), M[:-d]],
+                             axis=0)
+        vs = jnp.concatenate([jnp.broadcast_to(zero, (d, p)), v[:-d]],
+                             axis=0)
+        M, v = (jnp.einsum("tij,tjk->tik", M, ms),
+                jnp.einsum("tij,tj->ti", M, vs) + v)
+        d *= 2
+    prefM, prefV = M, v
     d0 = jnp.zeros((p,), dtype) if zi is None else zi.astype(dtype)
     d_incl = jnp.einsum("tij,j->ti", prefM, d0) + prefV
     d_at = jnp.concatenate([d0[None], d_incl[:-1]], axis=0)

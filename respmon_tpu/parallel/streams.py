@@ -105,6 +105,65 @@ def monitor_step_streams(states: motion.MeasureState, frames: jnp.ndarray,
                                  cfg, initialized)
 
 
+class StreamBatchResult(NamedTuple):
+    state: motion.MeasureState     # final batched (S, ...) state
+    samples: jnp.ndarray           # (K, S)
+    bpm: jnp.ndarray               # (K, S)
+    has_bpm: jnp.ndarray           # (K, S) bool
+    error: jnp.ndarray             # (K, S) bool
+
+
+def _monitor_scan_batched(states: motion.MeasureState, frames: jnp.ndarray,
+                          spec: motion.MeasureSpec,
+                          coeffs: filters.FilterCoeffs, min_dist: int,
+                          cfg, initialized: bool) -> StreamBatchResult:
+    """K lockstep steps in one program: ``lax.scan`` over a (K, S, H, W)
+    frame batch.  Amortizes the per-dispatch latency floor and the
+    program's fixed gather latencies over K frames — the fleet's
+    throughput mode (adds K frames of result latency; per-frame BPM is
+    still produced for every frame)."""
+
+    def body(st, fr):
+        r = _monitor_step_batched(st, fr, spec, coeffs, min_dist, cfg,
+                                  initialized)
+        return r.state, (r.samples, r.bpm, r.has_bpm, r.error)
+
+    states, (samples, bpm, has, err) = jax.lax.scan(body, states, frames)
+    return StreamBatchResult(state=states, samples=samples, bpm=bpm,
+                             has_bpm=has, error=err)
+
+
+@partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg",
+                                   "initialized"))
+def monitor_scan_streams(states, frames, spec, coeffs, min_dist, cfg,
+                         initialized: bool = False) -> StreamBatchResult:
+    """Single-device / GSPMD K-frame lockstep batch (see
+    _monitor_scan_batched)."""
+    return _monitor_scan_batched(states, frames, spec, coeffs, min_dist,
+                                 cfg, initialized)
+
+
+@lru_cache(maxsize=64)
+def make_sharded_monitor_scan(mesh: Mesh, spec: motion.MeasureSpec,
+                              coeffs: filters.FilterCoeffs, min_dist: int,
+                              cfg, axis: str = "streams",
+                              initialized: bool = False):
+    """shard_map-wrapped K-frame lockstep batch (collective-free like the
+    single-step program)."""
+    p = jax.sharding.PartitionSpec(axis)
+    pk = jax.sharding.PartitionSpec(None, axis)
+
+    def local(states, frames):
+        return _monitor_scan_batched(states, frames, spec, coeffs,
+                                     min_dist, cfg, initialized)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(p, pk),
+        out_specs=StreamBatchResult(
+            state=p, samples=pk, bpm=pk, has_bpm=pk, error=pk),
+        check_vma=False))
+
+
 @lru_cache(maxsize=64)
 def make_sharded_monitor_step(mesh: Mesh, spec: motion.MeasureSpec,
                               coeffs: filters.FilterCoeffs, min_dist: int,
@@ -148,14 +207,14 @@ def make_sharded_locate(mesh: Mesh, fps: float, cfg,
                                  out_specs=p, check_vma=False))
 
 
-_PATCH_BUDGET_BYTES = 4 << 30   # fleet-wide bf16 patch-matrix allowance
+_PATCH_BUDGET_BYTES = 4 << 30   # fleet-wide f16 patch-matrix allowance
 
 
 def fleet_lk_sample(cfg: MonitorConfig, crop_h: int, crop_w: int,
                     n_streams: int) -> str:
     """Pick the fleet's LK next-window sampling mode.
 
-    bf16 im2col patch matrices cut the Newton-iteration gather from ~11 ms
+    f16 im2col patch matrices cut the Newton-iteration gather from ~11 ms
     to ~0.6 ms at 64-stream scale (row-takes ride the fast gather layout),
     at ~(win^2)/2 x the crop in HBM per stream per frame; fall back to the
     exact O(points) slice sampling when the fleet-wide footprint would
@@ -314,6 +373,30 @@ class MultiStreamMonitor:
             res = fn(self.states, dev)
         else:
             res = monitor_step_streams(self.states, dev, self.spec,
+                                       self.coeffs, self.min_dist,
+                                       self.cfg.measure,
+                                       initialized=initialized)
+        self.states = res.state
+        self._needs_init = False
+        return res
+
+    def step_many(self, frames: np.ndarray) -> StreamBatchResult:
+        """frames: (K, S, H, W) — K lockstep frames per stream in ONE
+        dispatch (lax.scan).  Amortizes fixed dispatch/gather latency over
+        K at the cost of K frames of result latency; per-frame outputs
+        (samples/bpm/error) come back stacked (K, S)."""
+        assert self.states is not None, "calibrate() first"
+        dev = jnp.asarray(frames, self.dtype)
+        initialized = not self._needs_init
+        if self.mesh is not None:
+            dev = jax.device_put(dev, jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(None, "streams")))
+            fn = make_sharded_monitor_scan(
+                self.mesh, self.spec, self.coeffs, self.min_dist,
+                self.cfg.measure, initialized=initialized)
+            res = fn(self.states, dev)
+        else:
+            res = monitor_scan_streams(self.states, dev, self.spec,
                                        self.coeffs, self.min_dist,
                                        self.cfg.measure,
                                        initialized=initialized)

@@ -322,3 +322,33 @@ def test_locate_wsharded_deep_pyramid_sharded_boundaries():
         (int(want.x), int(want.y), int(want.w), int(want.h))
     np.testing.assert_array_equal(np.asarray(got.heatmap_u8),
                                   np.asarray(want.heatmap_u8))
+
+
+def test_step_many_matches_sequential_steps():
+    # The K-frame lockstep batch must produce exactly the per-frame
+    # results of K sequential step() calls (same programs, scanned).
+    mesh = make_mesh(axis_names=("streams",))
+    clips = _stream_clips(8, 48)
+
+    mon_a = streams_mod.MultiStreamMonitor(SMALL_CFG, mesh, (60, 80), FPS)
+    mon_a.calibrate(clips[:, :32])
+    mon_b = streams_mod.MultiStreamMonitor(SMALL_CFG, mesh, (60, 80), FPS)
+    mon_b.calibrate(clips[:, :32])
+
+    seq = [mon_a.step(clips[:, f]) for f in range(33, 41)]
+    batch = mon_b.step_many(np.swapaxes(clips[:, 33:41], 0, 1))
+
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(r.samples) for r in seq]),
+        np.asarray(batch.samples))
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(r.has_bpm) for r in seq]),
+        np.asarray(batch.has_bpm))
+    got_bpm = np.asarray(batch.bpm)
+    want_bpm = np.stack([np.asarray(r.bpm) for r in seq])
+    has = np.asarray(batch.has_bpm)
+    np.testing.assert_array_equal(got_bpm[has], want_bpm[has])
+    np.testing.assert_array_equal(
+        np.asarray(mon_a.states.count), np.asarray(mon_b.states.count))
+    np.testing.assert_array_equal(
+        np.asarray(mon_a.states.data), np.asarray(mon_b.states.data))
