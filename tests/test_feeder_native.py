@@ -123,20 +123,27 @@ def test_ring_concurrent_pop_latest(cap):
     n = 10000
     errors = []
     consumed = []
+    done = threading.Event()
 
     def producer():
         for i in range(n):
             ring.push(np.full(64, float(i), np.float32))
+        done.set()
 
     def consumer():
         last = -1
-        idle = 0
-        while idle < 3000:
+        while True:
             f, seq = ring.pop_latest()
             if f is None:
-                idle += 1
-                continue
-            idle = 0
+                # Only stop once the producer has finished AND the ring is
+                # drained (a plain idle counter flakes under GIL
+                # starvation on 1-core CI).
+                if done.is_set():
+                    f, seq = ring.pop_latest()
+                    if f is None:
+                        break
+                else:
+                    continue
             if not np.all(f == float(seq)):
                 errors.append(("torn", seq))
             if seq <= last:
