@@ -84,3 +84,51 @@ def checkpoint_roundtrip_equal(a: Optional[motion.MeasureState],
                               np.asarray(getattr(b, name)), equal_nan=True):
             return False
     return True
+
+
+def save_fleet_checkpoint(path: str, fleet) -> None:
+    """Serialize a ``MultiStreamMonitor`` mid-monitoring: the batched
+    device state pytree plus the static measurement geometry needed to
+    rebuild the compiled step on restore (fleet analog of
+    ``save_checkpoint``; per-stream signal history rides inside the
+    batched rings)."""
+    assert fleet.states is not None, "calibrate() before checkpointing"
+    blobs = {
+        "fps": np.asarray(fleet.fps),
+        "frame_hw": np.asarray(fleet.frame_hw),
+        "crop_hw": np.asarray([fleet.spec.crop_h, fleet.spec.crop_w]),
+        "method": np.asarray(fleet.spec.method),
+        "lk_sample": np.asarray(fleet.spec.lk_sample),
+        "needs_init": np.asarray(fleet._needs_init),
+    }
+    for name in _STATE_FIELDS:
+        blobs[f"ms_{name}"] = np.asarray(getattr(fleet.states, name))
+    np.savez(path, **blobs)
+
+
+def load_fleet_checkpoint(path: str, fleet) -> None:
+    """Restore a ``MultiStreamMonitor`` saved with
+    ``save_fleet_checkpoint``.  The monitor must be constructed with the
+    same config/mesh/frame size; it resumes stepping with every stream's
+    tracking points, motion rings, and signal history intact."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from respmon_tpu.parallel.streams import shard_streams
+
+    z = np.load(path, allow_pickle=False)
+    assert tuple(int(v) for v in z["frame_hw"]) == tuple(fleet.frame_hw), \
+        "checkpoint frame size does not match this monitor"
+    fleet.fps = float(z["fps"])
+    crop_h, crop_w = (int(v) for v in z["crop_hw"])
+    base = motion.MeasureSpec.for_roi(
+        fleet.cfg, fleet.frame_hw[0], fleet.frame_hw[1], 1, 1, fleet.fps)
+    fleet.spec = dataclasses.replace(
+        base, crop_h=crop_h, crop_w=crop_w, method=str(z["method"]),
+        lk_sample=str(z["lk_sample"]))
+    fields = {name: jnp.asarray(z[f"ms_{name}"]) for name in _STATE_FIELDS}
+    fleet.states = motion.MeasureState(**fields)
+    fleet._needs_init = bool(z["needs_init"])
+    if fleet.mesh is not None:
+        fleet.states = shard_streams(fleet.states, fleet.mesh)

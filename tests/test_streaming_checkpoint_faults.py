@@ -180,3 +180,46 @@ def test_nan_fault_passthrough_average_mode_no_error():
     mon.run()
     assert mon.state == "measure"
     assert mon.error_message is None
+
+
+def test_fleet_checkpoint_roundtrip(tmp_path):
+    # Fleet suspend/resume: a restored MultiStreamMonitor must continue
+    # producing EXACTLY the results of the uninterrupted fleet.
+    from respmon_tpu.parallel import streams as streams_mod
+    from respmon_tpu.parallel.mesh import make_mesh
+
+    fps = 10.0
+    cfg = MonitorConfig(
+        calibration=CalibrationConfig(buffer_length=32, pyramid_levels=4,
+                                      skip_levels_at_top=1))
+    clips = np.stack([
+        breathing_clip(num_frames=80, height=60, width=80, fps=fps,
+                       bpm=18.0 + i, patch_center=(30, 40),
+                       patch_size=(16, 20), amplitude=0.25, noise=0.002,
+                       seed=i)
+        for i in range(8)])
+
+    mesh = make_mesh(axis_names=("streams",))
+    mon = streams_mod.MultiStreamMonitor(cfg, mesh, (60, 80), fps)
+    mon.calibrate(clips[:, :32])
+    for f in range(33, 50):
+        mon.step(clips[:, f])
+
+    path = str(tmp_path / "fleet.npz")
+    checkpoint.save_fleet_checkpoint(path, mon)
+
+    resumed = streams_mod.MultiStreamMonitor(cfg, mesh, (60, 80), fps)
+    checkpoint.load_fleet_checkpoint(path, resumed)
+    assert checkpoint.checkpoint_roundtrip_equal(
+        __import__("jax").tree_util.tree_map(np.asarray, mon.states),
+        __import__("jax").tree_util.tree_map(np.asarray, resumed.states))
+
+    for f in range(50, 60):
+        a = mon.step(clips[:, f])
+        b = resumed.step(clips[:, f])
+        np.testing.assert_array_equal(np.asarray(a.samples),
+                                      np.asarray(b.samples))
+        has = np.asarray(a.has_bpm)
+        np.testing.assert_array_equal(has, np.asarray(b.has_bpm))
+        np.testing.assert_array_equal(np.asarray(a.bpm)[has],
+                                      np.asarray(b.bpm)[has])
