@@ -134,8 +134,10 @@ def main_headline():
 
     # --- timed: with host->device upload each iteration (cold-client
     # end-to-end; surfaces the H2D cost the feeder hides in production).
-    cal_np_v = [cal_np + np.float32(i * 1e-6) for i in range(iters)]
-    rest_np_v = [rest_np + np.float32(i * 1e-6) for i in range(iters)]
+    # Warmup/probe use the two EXTRA trailing variants so the timed
+    # iterations [0, iters) never repeat an already-memoized dispatch.
+    cal_np_v = [cal_np + np.float32(i * 1e-6) for i in range(iters + 2)]
+    rest_np_v = [rest_np + np.float32(i * 1e-6) for i in range(iters + 2)]
 
     def run_cal_up(i):
         dev = jax.device_put(cal_np_v[i])
@@ -146,9 +148,9 @@ def main_headline():
         return scan.measure_clip(dev, roi, spec, coeffs, 10,
                                  cfg.measure).samples
 
-    np.asarray(run_cal_up(0))  # possible reshard/transfer compile, excluded
+    np.asarray(run_cal_up(iters))  # reshard/transfer compile, excluded
     up_probe0 = time.time()
-    np.asarray(run_cal_up(1))
+    np.asarray(run_cal_up(iters + 1))
     up_probe = time.time() - up_probe0
     up_iters = iters if up_probe < 1.0 else 2
     t_cal_up = _timed(run_cal_up, up_iters)

@@ -31,16 +31,13 @@ parity is to float tolerance, not bitwise).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from respmon_tpu.config import CalibrationConfig
-from respmon_tpu.ops import ccl
-from respmon_tpu.ops.dtype import float_to_uint8
 from respmon_tpu.ops.fft_bandpass import packed_bandpass_operator
 from respmon_tpu.ops.pyramid import pyr_up, pyramid_shapes
 from respmon_tpu.pipeline import evm
@@ -108,24 +105,12 @@ def make_tsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
         top = hi - (hi - lo) * cfg.temporal_threshold
         masked = jnp.where(img >= top, lo, img)
 
-        # T-mean across shards: local partial sum + psum.
+        # T-means across shards: local partial sums + psum; the finish
+        # (normalize -> threshold -> CCL bbox) is the shared single-device
+        # code so the sharded paths cannot drift from evm.locate.
         avg = jax.lax.psum(jnp.sum(masked, axis=0), axis) / t_total
-        avg_norm = (avg - jnp.min(avg)) / (jnp.max(avg) - jnp.min(avg))
-        heat_u8 = float_to_uint8(avg_norm)
-
-        threshold = jnp.round(cfg.threshold * 255.0).astype(jnp.int32)
-        fg = heat_u8.astype(jnp.int32) > threshold
-        thresh_img = jnp.where(fg, jnp.uint8(255), jnp.uint8(0))
-        box = ccl.largest_component_bbox(fg)
-
         raw_avg = jax.lax.psum(jnp.sum(img, axis=0), axis) / t_total
-        raw_norm = (raw_avg - jnp.min(raw_avg)) / \
-            (jnp.max(raw_avg) - jnp.min(raw_avg))
-        raw_u8 = float_to_uint8(raw_norm)
-
-        return evm.LocateResult(
-            found=box.found, x=box.x, y=box.y, w=box.w, h=box.h,
-            heatmap_u8=heat_u8, thresh=thresh_img, raw_heat_u8=raw_u8)
+        return evm._finish_locate(avg, raw_avg, cfg)
 
     in_spec = P(axis, None, None)
     out_spec = P()  # replicated: every shard computes identical results

@@ -289,6 +289,7 @@ def process_clip_auto(frames: np.ndarray, fps: float, cfg: MonitorConfig,
     recoveries = 0
     start = 0
     n = int(frames.shape[0])
+    clean_end = False
     while len(episodes) < max_episodes and n - start > cal_len + 2:
         res = process_clip(frames[start:], fps, cfg, dtype=dtype,
                            estimate_every_frame=estimate_every_frame)
@@ -299,15 +300,18 @@ def process_clip_auto(frames: np.ndarray, fps: float, cfg: MonitorConfig,
             start += cal_len
             continue
         if res.error_frame is None:
+            clean_end = True
             break  # clean run to the end of the clip
         # Absolute frame of the loss: episode's measure covers
         # frames[start + cal_len + 2 :].
         lost_abs = start + cal_len + 2 + res.error_frame
         start = lost_abs + 1 + delay_frames
         recoveries += 1
-    exhausted = (len(episodes) >= max_episodes
-                 and bool(episodes) and episodes[-1].result.error_frame
-                 is not None)
+    # Exhausted = stopped on the episode cap with processable clip left —
+    # whether the cap was burned by error recoveries OR by found=False
+    # retries; a natural end (clean run / frames ran out) is not exhausted.
+    exhausted = (not clean_end and len(episodes) >= max_episodes
+                 and n - start > cal_len + 2)
 
     final_bpm = None
     for ep in episodes:

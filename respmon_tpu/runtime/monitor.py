@@ -122,9 +122,13 @@ class RespiratoryMonitor:
         self.use_feeder = bool(use_feeder)
         self.feeder_capacity = int(feeder_capacity)
         if feeder_latest is None:
-            # Webcams want the freshest frame; file/array replay preserves
-            # every frame in order (FIFO) so accounting matches offline.
-            feeder_latest = isinstance(capture_target, int)
+            # Live sources (webcam indices, network stream URLs) want the
+            # freshest frame — lossless backpressure against a live source
+            # would make delivered frames lag real time without bound.
+            # File/array replay preserves every frame in order (FIFO) so
+            # accounting matches offline.
+            feeder_latest = isinstance(capture_target, int) or (
+                isinstance(capture_target, str) and "://" in capture_target)
         self.feeder_latest = bool(feeder_latest)
         self._feeder = None
         self.frames_dropped = 0
