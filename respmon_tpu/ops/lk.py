@@ -20,11 +20,13 @@ next, pts, None, winSize=(15,15), maxLevel=2, criteria=(EPS|COUNT, 10, 0.03))``
     accumulators scaled 2^-20, i.e. true-gradient G / 1024, then / winArea).
 
 TPU-native design: windows are never gathered pixel-by-pixel.  Each level's
-padded images are expanded ONCE into an im2col patch matrix (R, win*win)
-(``conv_general_dilated_patches``); a bilinear window at any float position
-is then a weighted sum of FOUR CONTIGUOUS ROWS of that matrix — a flat
-``jnp.take`` row gather, the layout TPUs gather fast — and the per-iteration
-update is pure batched VPU arithmetic over the (points, win*win) block.  The
+padded images are expanded ONCE into an im2col patch matrix of
+(win+1)x(win+1) support windows (``conv_general_dilated_patches``); a
+bilinear window at any float position is then ONE CONTIGUOUS ROW of that
+matrix — a flat ``jnp.take`` row gather, the layout TPUs gather fast
+(gathers are latency-bound per index) — plus in-register corner slicing,
+and the per-iteration update is pure batched VPU arithmetic over the
+(points, win*win) block.  The
 Newton iterations run as one ``fori_loop`` over the whole point set with
 masked convergence (no per-point control flow).  Images are expected on the
 uint8 [0,255] value scale (the reference converts crops with float_to_uint8
@@ -89,8 +91,9 @@ class _LevelPatches(NamedTuple):
     Only the *next* image is re-sampled inside the Newton loop.  Two
     sampling modes for it (``mode``):
 
-    - ``"patches"``: ``next`` is an im2col patch matrix (R, win*win); a
-      bilinear window is 4 contiguous row gathers.  Fastest per iteration,
+    - ``"patches"``: ``next`` is an im2col matrix of (win+1)^2 support
+      windows; a bilinear window is ONE contiguous row gather.  Fastest
+      per iteration,
       but materializing the matrix costs ~(win*win)x the image in HBM
       traffic and footprint — right for the whole-clip scan path where it
       is hoisted out of the scan, ruinous for large crops batched over many
@@ -169,25 +172,39 @@ def _window_slices1(img_pad: jnp.ndarray, pad: int, by, bx, fy, fx,
 
 
 def _window_rows(patches: jnp.ndarray, wprime: int, pad: int,
-                 by: jnp.ndarray, bx: jnp.ndarray, fy, fx) -> jnp.ndarray:
-    """Bilinear (N, win*win) windows: weighted sum of 4 patch rows per
-    point.  by/bx are integer window bases in unpadded coordinates."""
-    hlim = patches.shape[0] // wprime - 2
+                 by: jnp.ndarray, bx: jnp.ndarray, fy, fx,
+                 win: int) -> jnp.ndarray:
+    """Bilinear (N, win*win) windows: ONE patch row per point.
+
+    The matrix stores (win+1)x(win+1) support windows (one row holds all
+    four corner win x win subwindows), so a bilinear sample is a single
+    row-take plus in-register slicing — TPU gathers are latency-bound per
+    index, so one take beats four.  Same pixels, same weight/add order as
+    the 4-corner formulation (bit-identical).  by/bx are integer window
+    bases in unpadded coordinates."""
+    s = win + 1
+    hlim = patches.shape[0] // wprime - 1
     ry = jnp.clip(by + pad, 0, hlim)
-    rx = jnp.clip(bx + pad, 0, wprime - 2)
-    r = ry * wprime + rx
+    rx = jnp.clip(bx + pad, 0, wprime - 1)
     # Row-takes come back in the matrix dtype; combine in the weight dtype
-    # (f32) so a bf16-stored matrix only rounds the stored pixels, not the
-    # bilinear arithmetic.
-    up = fy.dtype
-    p00 = jnp.take(patches, r, axis=0).astype(up)
-    p01 = jnp.take(patches, r + 1, axis=0).astype(up)
-    p10 = jnp.take(patches, r + wprime, axis=0).astype(up)
-    p11 = jnp.take(patches, r + wprime + 1, axis=0).astype(up)
-    fy = fy[:, None]
-    fx = fx[:, None]
-    return (p00 * (1 - fy) * (1 - fx) + p01 * (1 - fy) * fx
-            + p10 * fy * (1 - fx) + p11 * fy * fx)
+    # (f32) so a narrow-stored matrix only rounds the stored pixels, not
+    # the bilinear arithmetic.
+    g = jnp.take(patches, ry * wprime + rx, axis=0).astype(fy.dtype)
+    g = g.reshape(-1, s, s)
+    out = _bilin_win(g, fy, fx, win)
+    return out.reshape(g.shape[0], win * win)
+
+
+def _bilin_win(w16: jnp.ndarray, fy, fx, win: int) -> jnp.ndarray:
+    """4-corner bilinear (N, win, win) from (N, win+1, win+1) integer
+    support — the same pixel/weight/add order as the classic 4-row
+    formulation."""
+    fy = fy[:, None, None]
+    fx = fx[:, None, None]
+    return (w16[:, :win, :win] * (1 - fy) * (1 - fx)
+            + w16[:, :win, 1:] * (1 - fy) * fx
+            + w16[:, 1:, :win] * fy * (1 - fx)
+            + w16[:, 1:, 1:] * fy * fx)
 
 
 def _track_level(lp: _LevelPatches, prev_pts, next_pts, status, level, win,
@@ -235,7 +252,8 @@ def _track_level(lp: _LevelPatches, prev_pts, next_pts, status, level, win,
             jbxc = jnp.clip(jbx, -pad, w - 1)
             jw = _window_slices1(lp.next, pad, jbyc, jbxc, jfy, jfx, win)
         else:
-            jw = _window_rows(lp.next, lp.wprime, pad, jby, jbx, jfy, jfx)
+            jw = _window_rows(lp.next, lp.wprime, pad, jby, jbx, jfy,
+                              jfx, win)
         diff = jw - iw
         b1 = jnp.sum(diff * ixw, axis=1)
         b2 = jnp.sum(diff * iyw, axis=1)
@@ -306,7 +324,8 @@ def level_geometry(h: int, w: int, win: int, max_level: int):
     for _ in range(max_level):
         hh, ww = shapes[-1]
         shapes.append(((hh + 1) // 2, (ww + 1) // 2))
-    wprimes = [ww + 2 * (win + 2) - win + 1 for _, ww in shapes]
+    # patch-grid width for the (win+1)^2-filter matrices
+    wprimes = [ww + 2 * (win + 2) - win for _, ww in shapes]
     return shapes, wprimes
 
 
@@ -337,7 +356,9 @@ def precompute_frame_inputs(img: jnp.ndarray, win: int = 15,
                 _pad_for_windows(dxm, win, "zero"),
                 _pad_for_windows(dym, win, "zero")]))
         if with_patches:
-            patch, _ = _patch_matrix(padded, win, dtype=patch_dtype)
+            # (win+1)^2 filter: one row holds a full bilinear support
+            # window (see _window_rows).
+            patch, _ = _patch_matrix(padded, win + 1, dtype=patch_dtype)
             patches.append(patch)
         if with_images:
             images.append(padded)
