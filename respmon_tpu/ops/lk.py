@@ -26,9 +26,9 @@ bilinear window at any float position is then ONE CONTIGUOUS ROW of that
 matrix — a flat ``jnp.take`` row gather, the layout TPUs gather fast
 (gathers are latency-bound per index) — plus in-register corner slicing,
 and the per-iteration update is pure batched VPU arithmetic over the
-(points, win*win) block.  The
-Newton iterations run as one ``fori_loop`` over the whole point set with
-masked convergence (no per-point control flow).  Images are expected on the
+(points, win*win) block.  The Newton iterations run as one early-exit
+``while_loop`` over the whole point set with masked convergence (no
+per-point control flow; bit-identical to running all iterations).  Images are expected on the
 uint8 [0,255] value scale (the reference converts crops with float_to_uint8
 before LK, base.py:364-371), which the minEig threshold depends on.
 """
@@ -88,7 +88,7 @@ def _pad_for_windows(img: jnp.ndarray, win: int, border: str) -> jnp.ndarray:
 class _LevelPatches(NamedTuple):
     """Per-level sampling structures.
 
-    Only the *next* image is re-sampled inside the Newton loop.  Two
+    Only the *next* image is re-sampled inside the Newton loop.  The
     sampling modes for it (``mode``):
 
     - ``"patches"``: ``next`` is an im2col matrix of (win+1)^2 support
@@ -100,10 +100,13 @@ class _LevelPatches(NamedTuple):
       streams (64 x 256x448 crops OOM a 16 GB chip).
     - ``"slices"``: ``next`` is just the padded (Hp, Wp) image; each point
       takes one contiguous (win+1, win+1) dynamic slice per iteration.
-      O(points) instead of O(pixels) memory — the live/fleet mode.
+      O(points) instead of O(pixels) memory — the single-stream live mode.
+    - ``"patches16"``: like ``"patches"`` but the matrix is stored bf16
+      (f32 upcast after the gather) — halves the footprint/traffic that
+      OOMs f32 at fleet scale; the fleet throughput mode.
 
     prev/dx/dy windows are sampled once per level via padded dynamic slices
-    either way (cheaper than building three more patch matrices)."""
+    in every mode (cheaper than building three more patch matrices)."""
 
     prev_stack: jnp.ndarray  # (3, Hp, Wp): padded image, dx, dy stacked so
                              # one slice per point fetches all three windows
