@@ -148,7 +148,8 @@ def main_headline():
         return scan.measure_clip(dev, roi, spec, coeffs, 10,
                                  cfg.measure).samples
 
-    np.asarray(run_cal_up(iters))  # reshard/transfer compile, excluded
+    np.asarray(run_cal_up(iters))   # reshard/transfer compile, excluded
+    np.asarray(run_meas_up(iters))  # rest-shaped transfer compile likewise
     up_probe0 = time.time()
     np.asarray(run_cal_up(iters + 1))
     up_probe = time.time() - up_probe0

@@ -110,7 +110,7 @@ class _LevelPatches(NamedTuple):
 
     prev_stack: jnp.ndarray  # (3, Hp, Wp): padded image, dx, dy stacked so
                              # one slice per point fetches all three windows
-    next: jnp.ndarray        # (R, win*win) patch matrix | (Hp, Wp) image
+    next: jnp.ndarray        # (R, (win+1)^2) matrix | (Hp, Wp) image
     wprime: int              # patch-grid width (static; unused in slices)
     hw: Tuple[int, int]      # unpadded level shape (static)
     mode: str = "patches"    # next-window sampling mode (static)
@@ -421,10 +421,10 @@ def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
     - ``"slices"`` (default): per-point dynamic slices.  O(points) memory,
       bit-identical to patches mode (same pixels, same FP order), but TPU
       2D window gathers cost ~11 ms/Newton-iteration at fleet scale.
-    - ``"patches16"``: bf16 im2col patch matrix + f32 upcast after the row
-      gather.  ~0.6 ms/iteration (row-takes ride the fast gather layout)
-      + ~20 ms build; pixels round to bf16 on downsampled levels (level 0
-      is exact — uint8-scale integers).  The fleet's throughput mode.
+    - ``"patches16"``: bf16 im2col patch matrix + f32 upcast after the
+      row gather.  ~0.3 ms/iteration (one fast-layout row-take) + ~13 ms
+      build; pixels round to bf16 on downsampled levels (level 0 is exact
+      — uint8-scale integers).  The fleet's throughput mode.
     - ``"patches"``: f32 im2col — exact, 2x the build traffic/footprint of
       patches16; OOMs 64-stream 1080p fleets.  The whole-clip scan path
       uses this (matrix hoisted out of the scan, modest crop sizes)."""

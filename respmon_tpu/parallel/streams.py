@@ -276,10 +276,20 @@ class MultiStreamMonitor:
         # steady-state program (the common case) then compiles without the
         # first-frame branch (batched cond executes BOTH sides).
         self._needs_init = True
+        self._set_fps(fps)
+
+    def _set_fps(self, fps: float) -> None:
+        """Install ``fps`` and everything derived from it (the lowpass
+        design and the peak min-distance).  The single place these formulas
+        live — checkpoint restore calls it too, so a fleet restored at a
+        different fps never filters/peak-picks with stale parameters."""
+        self.fps = float(fps)
+        cfg = self.cfg
         self.coeffs = filters.design_butter_lowpass(
             cfg.calibration.freq_max * 0.5, self.fps,
             cfg.measure.filter_order)
-        self.min_dist = max(int(np.floor(fps / cfg.calibration.freq_max)), 1)
+        self.min_dist = max(
+            int(np.floor(self.fps / cfg.calibration.freq_max)), 1)
 
     def calibrate(self, buffers: np.ndarray) -> BatchedLocate:
         """buffers: (S, T, H, W).  Sets up batched measure state."""

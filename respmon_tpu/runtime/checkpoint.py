@@ -115,21 +115,14 @@ def load_fleet_checkpoint(path: str, fleet) -> None:
 
     import jax.numpy as jnp
 
-    from respmon_tpu.ops import filters
     from respmon_tpu.parallel.streams import shard_streams
 
     z = np.load(path, allow_pickle=False)
     assert tuple(int(v) for v in z["frame_hw"]) == tuple(fleet.frame_hw), \
         "checkpoint frame size does not match this monitor"
-    fleet.fps = float(z["fps"])
-    # fps-derived measurement parameters must follow the restored fps
-    # (mirrors the constructor; a monitor built with a different fps would
-    # otherwise filter/peak-pick at the wrong sample rate).
-    fleet.coeffs = filters.design_butter_lowpass(
-        fleet.cfg.calibration.freq_max * 0.5, fleet.fps,
-        fleet.cfg.measure.filter_order)
-    fleet.min_dist = max(
-        int(np.floor(fleet.fps / fleet.cfg.calibration.freq_max)), 1)
+    # One shared derivation for fps and its dependent parameters (lowpass
+    # design, peak min-distance) — see MultiStreamMonitor._set_fps.
+    fleet._set_fps(float(z["fps"]))
     crop_h, crop_w = (int(v) for v in z["crop_hw"])
     base = motion.MeasureSpec.for_roi(
         fleet.cfg, fleet.frame_hw[0], fleet.frame_hw[1], 1, 1, fleet.fps)

@@ -122,13 +122,16 @@ class RespiratoryMonitor:
         self.use_feeder = bool(use_feeder)
         self.feeder_capacity = int(feeder_capacity)
         if feeder_latest is None:
-            # Live sources (webcam indices, network stream URLs) want the
-            # freshest frame — lossless backpressure against a live source
-            # would make delivered frames lag real time without bound.
-            # File/array replay preserves every frame in order (FIFO) so
-            # accounting matches offline.
+            # Live sources (webcam indices, streaming-protocol URLs) want
+            # the freshest frame — lossless backpressure against a live
+            # source would make delivered frames lag real time without
+            # bound.  File paths and downloadable URLs (http/file) replay
+            # losslessly (FIFO) so accounting matches offline; pass
+            # feeder_latest explicitly for live HTTP (e.g. MJPEG) feeds.
+            live_schemes = ("rtsp://", "rtmp://", "udp://", "tcp://")
             feeder_latest = isinstance(capture_target, int) or (
-                isinstance(capture_target, str) and "://" in capture_target)
+                isinstance(capture_target, str)
+                and capture_target.lower().startswith(live_schemes))
         self.feeder_latest = bool(feeder_latest)
         self._feeder = None
         self.frames_dropped = 0
