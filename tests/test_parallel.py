@@ -18,6 +18,8 @@ FPS = 10.0
 SMALL_CFG = MonitorConfig(
     calibration=CalibrationConfig(buffer_length=32, pyramid_levels=4,
                                   skip_levels_at_top=1))
+FLOW_CFG = MonitorConfig(
+    motion_extraction_method="flow", calibration=SMALL_CFG.calibration)
 
 
 def _stream_clips(s, t, seed0=0, bpms=None):
@@ -244,11 +246,11 @@ def test_fleet_patches16_step_close_to_slices():
     from respmon_tpu.pipeline import motion
 
     clips = _stream_clips(4, 40)
-    spec = motion.MeasureSpec.for_roi(SMALL_CFG, clips.shape[2],
+    spec = motion.MeasureSpec.for_roi(FLOW_CFG, clips.shape[2],
                                       clips.shape[3], 30, 24, FPS)
     coeffs = filters.design_butter_lowpass(
-        SMALL_CFG.calibration.freq_max * 0.5, FPS,
-        SMALL_CFG.measure.filter_order)
+        FLOW_CFG.calibration.freq_max * 0.5, FPS,
+        FLOW_CFG.measure.filter_order)
     boxes = np.tile(np.asarray([[2, 2, 30, 24]], np.int32), (4, 1))
 
     results = {}
@@ -259,7 +261,7 @@ def test_fleet_patches16_step_close_to_slices():
         for t in range(8):
             res = streams_mod.monitor_step_streams(
                 states, jnp.asarray(clips[:, t]), sp, coeffs, 3,
-                SMALL_CFG.measure, initialized=t > 0)
+                FLOW_CFG.measure, initialized=t > 0)
             states = res.state
             samples.append(np.asarray(res.samples))
         results[mode] = np.stack(samples)
@@ -330,9 +332,9 @@ def test_step_many_matches_sequential_steps():
     mesh = make_mesh(axis_names=("streams",))
     clips = _stream_clips(8, 48)
 
-    mon_a = streams_mod.MultiStreamMonitor(SMALL_CFG, mesh, (60, 80), FPS)
+    mon_a = streams_mod.MultiStreamMonitor(FLOW_CFG, mesh, (60, 80), FPS)
     mon_a.calibrate(clips[:, :32])
-    mon_b = streams_mod.MultiStreamMonitor(SMALL_CFG, mesh, (60, 80), FPS)
+    mon_b = streams_mod.MultiStreamMonitor(FLOW_CFG, mesh, (60, 80), FPS)
     mon_b.calibrate(clips[:, :32])
 
     seq = [mon_a.step(clips[:, f]) for f in range(33, 41)]
@@ -352,3 +354,28 @@ def test_step_many_matches_sequential_steps():
         np.asarray(mon_a.states.count), np.asarray(mon_b.states.count))
     np.testing.assert_array_equal(
         np.asarray(mon_a.states.data), np.asarray(mon_b.states.data))
+
+
+def test_steady_state_step_elides_the_init_cond():
+    # Batched lax.cond executes BOTH branches (vmap lowers it to select),
+    # so without the static initialized hint every fleet step would run
+    # Shi-Tomasi over every stream's crop.  The hint's whole job is to
+    # remove that cond from the traced program — assert it at the jaxpr
+    # level (measure_step's only cond is the init/track dispatch).
+    from respmon_tpu.pipeline import motion
+
+    cfg = FLOW_CFG
+    spec = motion.MeasureSpec.for_roi(cfg, 60, 80, 20, 16, FPS)
+    state = motion.init_state(spec, (30, 22, 20, 16))
+    frame = jnp.zeros((60, 80), jnp.float32)
+
+    def prims(hint):
+        jaxpr = jax.make_jaxpr(
+            lambda st, fr: motion.measure_step(st, fr, spec,
+                                               initialized_hint=hint)
+        )(state, frame)
+        return {e.primitive.name for e in jaxpr.eqns}
+
+    assert "cond" not in prims(True), \
+        "steady-state step still contains the init/track cond"
+    assert "cond" in prims(False)

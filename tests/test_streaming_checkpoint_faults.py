@@ -189,7 +189,10 @@ def test_fleet_checkpoint_roundtrip(tmp_path):
     from respmon_tpu.parallel.mesh import make_mesh
 
     fps = 10.0
+    # flow mode so the checkpoint covers the full tracking state (points,
+    # validity, motion ring, prev crop), not just the signal buffers.
     cfg = MonitorConfig(
+        motion_extraction_method="flow",
         calibration=CalibrationConfig(buffer_length=32, pyramid_levels=4,
                                       skip_levels_at_top=1))
     clips = np.stack([
