@@ -28,15 +28,17 @@ extern "C" {
 // Color conversion
 // ---------------------------------------------------------------------------
 
-// cv2.cvtColor BGR2GRAY uses fixed-point BT.601:
-//   y = (4899*R + 9617*G + 1868*B + (1<<13)) >> 14
+// cv2.cvtColor BGR2GRAY uses fixed-point BT.601 at shift 15 (coefficients
+// sum to 1<<15; verified exhaustively over all 2^24 BGR values against the
+// deployed cv2 build):
+//   y = (9798*R + 19235*G + 3735*B + (1<<14)) >> 15
 void bgr_u8_to_gray_f32(const uint8_t* bgr, float* out, int64_t n_pixels) {
     const float inv255 = 1.0f / 255.0f;
     for (int64_t i = 0; i < n_pixels; ++i) {
         const uint32_t b = bgr[3 * i + 0];
         const uint32_t g = bgr[3 * i + 1];
         const uint32_t r = bgr[3 * i + 2];
-        const uint32_t y = (4899u * r + 9617u * g + 1868u * b + 8192u) >> 14;
+        const uint32_t y = (9798u * r + 19235u * g + 3735u * b + 16384u) >> 15;
         out[i] = static_cast<float>(y) * inv255;
     }
 }

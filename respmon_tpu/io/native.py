@@ -85,7 +85,7 @@ def bgr_to_gray_f32(bgr: np.ndarray) -> np.ndarray:
     b = bgr[..., 0].astype(np.uint32)
     g = bgr[..., 1].astype(np.uint32)
     r = bgr[..., 2].astype(np.uint32)
-    y = (4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14
+    y = (9798 * r + 19235 * g + 3735 * b + (1 << 14)) >> 15
     return (y.astype(np.float32) / 255.0)
 
 

@@ -42,7 +42,12 @@ def normalize(data: jnp.ndarray) -> jnp.ndarray:
 
 def bgr_to_gray(frame: jnp.ndarray) -> jnp.ndarray:
     """BGR uint8 HxWx3 -> grayscale, cv2.cvtColor COLOR_BGR2GRAY semantics
-    (reference base.py:230): y = 0.114 B + 0.587 G + 0.299 R, rounded."""
-    weights = jnp.asarray([0.114, 0.587, 0.299], dtype=jnp.float32)
-    y = jnp.tensordot(frame.astype(jnp.float32), weights, axes=([-1], [0]))
-    return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+    (reference base.py:230), bit-exact: cv2 uses the fixed-point BT.601
+    formula y = (9798 R + 19235 G + 3735 B + 2^14) >> 15 (coefficients sum
+    to 2^15; verified exhaustively over all 2^24 BGR values against this
+    cv2 build) — same integer arithmetic as the native path
+    (native/resp_native.cpp bgr_u8_to_gray_f32)."""
+    f = frame.astype(jnp.int32)
+    b, g, r = f[..., 0], f[..., 1], f[..., 2]
+    y = (9798 * r + 19235 * g + 3735 * b + 16384) >> 15
+    return y.astype(jnp.uint8)

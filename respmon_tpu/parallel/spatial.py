@@ -214,20 +214,25 @@ def make_wsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
                 band[lvl] = bandpass(gauss_rep[lvl] - up)
 
         # --- collapse: replicated from the deepest level up to `split`,
-        # then resharded and halo-pyrUp'd to level 0.
-        img = jnp.zeros((t_len,) + shapes[last + 1], vid_local.dtype)
-        for lvl in range(last, split - 1, -1):
-            img = pyr_up(img, shapes[lvl])
-            if lvl in band:
-                img = img + band[lvl]
-        # boundary: replicated (level `split`) -> sharded (level split-1)
-        img = _up_w_from_replicated(img, shapes[split - 1][0], axis, n)
-        if split - 1 in band:
-            img = img + band[split - 1]
-        for lvl in range(split - 2, -1, -1):
-            img = _up_w_sharded(img, shapes[lvl][0], axis, n)
-            if lvl in band:
-                img = img + band[lvl]
+        # then resharded and halo-pyrUp'd to level 0.  (Shared by the full
+        # (T,...) masked pass and the single-frame raw-mean pass.)
+        def collapse(levels, t):
+            img = jnp.zeros((t,) + shapes[last + 1], vid_local.dtype)
+            for lvl in range(last, split - 1, -1):
+                img = pyr_up(img, shapes[lvl])
+                if lvl in levels:
+                    img = img + levels[lvl]
+            # boundary: replicated (level `split`) -> sharded (split-1)
+            img = _up_w_from_replicated(img, shapes[split - 1][0], axis, n)
+            if split - 1 in levels:
+                img = img + levels[split - 1]
+            for lvl in range(split - 2, -1, -1):
+                img = _up_w_sharded(img, shapes[lvl][0], axis, n)
+                if lvl in levels:
+                    img = img + levels[lvl]
+            return img
+
+        img = collapse(band, t_len)
 
         # --- suppress-top + heatmaps (global extrema via pmin/pmax; means
         # are per-pixel local).
@@ -235,7 +240,16 @@ def make_wsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
         hi = jax.lax.pmax(jnp.max(img), axis)
         top = hi - (hi - lo) * cfg.temporal_threshold
         avg = jnp.mean(jnp.where(img >= top, lo, img), axis=0)
-        raw_avg = jnp.mean(img, axis=0)
+
+        # Raw heatmap as collapse-of-mean — the SAME formulation (and FP
+        # ordering) as evm.locate: per-level T-means are purely local, and
+        # the sharded pyrUp chain is bit-identical to pyr_up, so
+        # raw_heat_u8 exactly matches the single-device result (the
+        # mean-of-collapse alternative differs at ULP level, which the
+        # wrap-mod-256 uint8 conversion can amplify to ±255).
+        mean_band = {i: jnp.mean(lvl, axis=0, keepdims=True)
+                     for i, lvl in band.items()}
+        raw_avg = collapse(mean_band, 1)[0]
 
         avg_full = jax.lax.all_gather(avg, axis, axis=1, tiled=True)
         raw_full = jax.lax.all_gather(raw_avg, axis, axis=1, tiled=True)

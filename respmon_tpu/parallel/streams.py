@@ -229,8 +229,11 @@ def fleet_lk_sample(cfg: MonitorConfig, crop_h: int, crop_w: int,
     total = 0
     h, w = crop_h, crop_w
     for _ in range(cfg.lk.max_level + 1):
+        # patches16 builds (hp-win)*(wp-win) rows of (win+1)^2 bf16 each:
+        # _patch_matrix with filter size win+1 (one row per full bilinear
+        # support window, see ops/lk.py _window_rows).
         hp, wp = h + 2 * pad, w + 2 * pad
-        total += (hp - win + 1) * (wp - win + 1) * win * win * 2
+        total += (hp - win) * (wp - win) * (win + 1) * (win + 1) * 2
         h, w = (h + 1) // 2, (w + 1) // 2
     return "patches16" if total * n_streams <= _PATCH_BUDGET_BYTES \
         else "slices"

@@ -276,7 +276,13 @@ def locate(vid: jnp.ndarray, fps: float, cfg: CalibrationConfig) \
 
     # pyrUp is linear, so mean_T(collapse(band)) == collapse(mean_T(band)):
     # the raw heatmap needs one single-frame collapse of the tiny band
-    # levels, not a second full-resolution (T, H, W) pass.
+    # levels, not a second full-resolution (T, H, W) pass.  NOTE this is an
+    # intentional ULP-level FP reordering vs the reference's
+    # mean(collapse(band)) (base.py:585) — raw_heat_u8 is diagnostic-only
+    # (calibration montage), and the wrap-mod-256 uint8 conversion can turn
+    # a 1-ULP difference at a k/255 boundary into ±255, so oracle tests
+    # compare it with a quantization tolerance; parallel/spatial.py matches
+    # THIS formulation bit-for-bit.
     mean_band = {i: jnp.mean(lvl, axis=0, keepdims=True)
                  for i, lvl in band.items()}
     raw_avg = collapse(mean_band, 1)[0]

@@ -50,7 +50,7 @@ from respmon_tpu.pipeline import bpm as bpm_mod
 from respmon_tpu.pipeline import evm, motion
 from respmon_tpu.utils.bbox import reduce_bounding_box
 from respmon_tpu.utils.bench import Benchmarker
-from respmon_tpu.viz.ui import make_ui
+from respmon_tpu.viz.ui import make_ui, overlay_keypoints
 
 logger = logging.getLogger(__name__)
 
@@ -133,6 +133,15 @@ class RespiratoryMonitor:
                 isinstance(capture_target, str)
                 and capture_target.lower().startswith(live_schemes))
         self.feeder_latest = bool(feeder_latest)
+        if (self.use_feeder and not self.feeder_latest
+                and isinstance(capture_target, str)
+                and capture_target.lower().startswith(("http://",
+                                                       "https://"))):
+            logger.warning(
+                "http(s) source with a lossless (backpressure) feeder: a "
+                "LIVE http stream (e.g. MJPEG) will lag real time without "
+                "bound — pass feeder_latest=True for live HTTP feeds; "
+                "downloadable clips replay losslessly as intended.")
         self._feeder = None
         self.frames_dropped = 0
 
@@ -472,6 +481,12 @@ class RespiratoryMonitor:
             self.display_frame = np.clip(
                 np.trunc(self.cropped_image * 255.0), 0, 255) \
                 .astype(np.uint8)
+            if self.config.motion_extraction_method == "flow":
+                # Flow keypoint overlay (reference base.py:272-277): white
+                # circles mark the currently tracked points on the crop.
+                self.display_frame = overlay_keypoints(
+                    self.display_frame, self.motion_key_points)
+                ui.set_keypoints(self.motion_key_points)
             dots = ".".join(["" for _ in
                              range(0, len(self.filtered_data) % 4)])
             if len(self.peak_times) > 0:

@@ -17,6 +17,39 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+
+
+def overlay_keypoints(display_frame: np.ndarray, key_points) -> np.ndarray:
+    """Draw the flow tracker's points onto a uint8 crop (reference
+    base.py:272-277): per point a radius-2 filled white circle is drawn
+    into a cumulative mask that is saturating-added to the frame — net
+    effect, pixels inside any circle become 255.  Uses cv2's rasterization
+    when available (exact reference parity); a radius-2 disc otherwise."""
+    if key_points is None or len(key_points) == 0:
+        return display_frame
+    out = display_frame.copy()
+    try:
+        import cv2
+
+        mask = np.zeros_like(display_frame)
+        for new in key_points:
+            a, b = new.ravel()
+            mask = cv2.circle(mask, (int(round(float(a))),
+                                     int(round(float(b)))), 2,
+                              (255, 255, 255), -1)
+            out = cv2.add(out, mask)
+    except ImportError:  # pragma: no cover - cv2 always present in CI
+        h, w = display_frame.shape[:2]
+        yy, xx = np.ogrid[:h, :w]
+        hit = np.zeros((h, w), bool)
+        for new in key_points:
+            a, b = new.ravel()
+            a, b = int(round(float(a))), int(round(float(b)))
+            hit |= (yy - b) ** 2 + (xx - a) ** 2 <= 4
+        out[hit] = 255
+    return out
+
 
 class HeadlessUI:
     """No-op backend that retains the last values pushed to it."""
@@ -27,6 +60,7 @@ class HeadlessUI:
         self.raw_signal = ([], [])
         self.peaks = ([], [])
         self.frequency = ([], [])
+        self.keypoints = None
         self.bpm_text: str = "??? BPM"
         self.autoscale: bool = False
 
@@ -51,6 +85,11 @@ class HeadlessUI:
     def set_frequency(self, t, f) -> None:
         self.frequency = (t, f)
 
+    def set_keypoints(self, pts) -> None:
+        """Record the flow-mode tracked points drawn onto the crop
+        (reference base.py:272-277); observability for headless runs."""
+        self.keypoints = pts
+
     def set_bpm_text(self, text: str) -> None:
         self.bpm_text = text
 
@@ -58,6 +97,7 @@ class HeadlessUI:
         self.raw_signal = ([], [])
         self.peaks = ([], [])
         self.frequency = ([], [])
+        self.keypoints = None
         self.bpm_text = "??? BPM"
 
     def process_events(self) -> None:
@@ -72,10 +112,11 @@ class PyqtgraphUI:
 
     def __init__(self, fig_size: Optional[tuple] = None) -> None:
         import pyqtgraph as pg
-        from pyqtgraph.Qt import QtGui
 
         self._pg = pg
-        self._app = QtGui.QApplication.instance() or QtGui.QApplication([])
+        # pg.mkQApp is version-proof: QtGui.QApplication moved to QtWidgets
+        # in Qt6 and modern pyqtgraph no longer re-exports it from QtGui.
+        self._app = pg.mkQApp()
         win = pg.GraphicsLayoutWidget(title="Respiration Monitor")
         win.resize(*(fig_size or (1500, 900)))
         pg.setConfigOptions(antialias=True)
@@ -138,6 +179,10 @@ class PyqtgraphUI:
 
     def set_frequency(self, t, f) -> None:
         self._freq.setData(t, f)
+
+    def set_keypoints(self, pts) -> None:
+        """No-op: the monitor draws keypoint circles into the crop before
+        set_image (reference base.py:272-277); kept for contract parity."""
 
     def set_bpm_text(self, text: str) -> None:
         self._bpm_text.setText(text)

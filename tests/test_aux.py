@@ -92,9 +92,11 @@ def test_float_to_uint8_wraps_not_clips():
 
 
 def test_bgr_to_gray_matches_cv2():
+    # Bit-exact: the device helper uses cv2's fixed-point BT.601 formula
+    # (same integer arithmetic as native/resp_native.cpp).
     cv2 = pytest.importorskip("cv2")
     rng = np.random.default_rng(3)
-    frame = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
     got = np.asarray(dtype_ops.bgr_to_gray(jnp.asarray(frame)))
     want = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    np.testing.assert_array_equal(got, want)

@@ -25,8 +25,11 @@ def test_bgr_to_gray_matches_cv2():
     rng = np.random.default_rng(0)
     bgr = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
     got = bgr_to_gray_f32(bgr)
-    want = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY).astype(np.float32) / 255.0
-    np.testing.assert_allclose(got, want, atol=1.01 / 255.0)
+    # Bit-exact: the native path uses cv2's shift-15 fixed-point formula,
+    # then scales by the same *(1/255) the rest of the ingest path uses.
+    gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+    want = gray.astype(np.float32) * np.float32(1.0 / 255.0)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_ring_fifo_and_latest():

@@ -77,6 +77,40 @@ def test_flow_mode_tracks_and_estimates():
     assert abs(mon.freq[-1] - BPM_TRUE) <= 1.0
 
 
+def test_flow_keypoint_overlay_drawn():
+    # C9 UI parity: flow mode draws the tracked points as white circles on
+    # the displayed crop (reference base.py:272-277) and the headless UI
+    # records the point set, which must equal the device state's valid
+    # points.
+    cv2 = pytest.importorskip("cv2")
+    mon = _monitor(_clip(64 + 1 + 30, motion_px=2.0), method="flow")
+    mon.run()
+    assert mon.state == "measure"
+    state = mon._measure_state
+    dev_pts = np.asarray(state.pts)[np.asarray(state.pts_valid)]
+    assert len(dev_pts) > 0
+    ui_pts = np.asarray(mon.ui.keypoints).reshape(-1, 2)
+    np.testing.assert_allclose(ui_pts, dev_pts)
+
+    df = mon.display_frame
+    for a, b in ui_pts:
+        x, y = int(round(float(a))), int(round(float(b)))
+        if 0 <= y < df.shape[0] and 0 <= x < df.shape[1]:
+            assert df[y, x] == 255, f"no overlay at point ({x}, {y})"
+    # Bit-parity with the literal reference drawing loop.
+    base = np.clip(np.trunc(mon.cropped_image * 255.0), 0, 255) \
+        .astype(np.uint8)
+    mask = np.zeros_like(base)
+    disp = base.copy()
+    for new in mon.ui.keypoints:
+        a, b = new.ravel()
+        mask = cv2.circle(mask, (int(round(float(a))),
+                                 int(round(float(b)))), 2,
+                          (255, 255, 255), -1)
+        disp = cv2.add(disp, mask)
+    np.testing.assert_array_equal(df, disp)
+
+
 def test_skip_calibration_pins_roi():
     frames = _clip(40)
     mon = _monitor(frames, method="average")

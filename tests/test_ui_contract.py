@@ -60,10 +60,54 @@ def test_headless_ui_full_surface_smoke():
     ui.set_raw_signal(t, y)
     ui.set_peaks(t[::16], y[::16])
     ui.set_frequency(t[13:], np.full(115, 18.0))
+    ui.set_keypoints(np.zeros((3, 1, 2), np.float32))
     ui.set_bpm_text("18.0 BPM")
     ui.process_events()
     ui.clear_plots()
     ui.close()
+
+
+def test_pyqtgraph_ui_constructs_offscreen(monkeypatch):
+    # Deployment check (skipped where pyqtgraph is absent, as in CI): the
+    # Qt backend must construct on the installed pyqtgraph/Qt version —
+    # it uses pg.mkQApp(), which survives the Qt5->Qt6 QApplication move.
+    pytest.importorskip("pyqtgraph")
+    monkeypatch.setenv("QT_QPA_PLATFORM", "offscreen")
+    ui = PyqtgraphUI()
+    ui.set_window_title("t")
+    ui.set_image(np.zeros((8, 8), np.uint8))
+    ui.set_raw_signal([0.0, 1.0], [0.0, 1.0])
+    ui.set_keypoints(None)
+    ui.set_bpm_text("18.0 BPM")
+    ui.process_events()
+    ui.clear_plots()
+    ui.close()
+
+
+def test_overlay_keypoints_matches_reference_drawing():
+    # Literal reference semantics (base.py:272-277): cumulative radius-2
+    # circle mask, saturating-added to the crop each iteration.
+    cv2 = pytest.importorskip("cv2")
+    from respmon_tpu.viz.ui import overlay_keypoints
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, (40, 56), dtype=np.uint8)
+    pts = np.asarray([[[5.2, 7.8]], [[30.0, 20.0]], [[54.9, 38.6]]],
+                     np.float32)
+    got = overlay_keypoints(base, pts)
+    mask = np.zeros_like(base)
+    disp = base.copy()
+    for new in pts:
+        a, b = new.ravel()
+        mask = cv2.circle(mask, (int(round(float(a))),
+                                 int(round(float(b)))), 2,
+                          (255, 255, 255), -1)
+        disp = cv2.add(disp, mask)
+    np.testing.assert_array_equal(got, disp)
+    # No points: frame returned untouched.
+    np.testing.assert_array_equal(overlay_keypoints(base, None), base)
+    np.testing.assert_array_equal(
+        overlay_keypoints(base, np.zeros((0, 1, 2), np.float32)), base)
 
 
 def test_every_qt_method_is_smoke_covered():
