@@ -16,19 +16,22 @@ def breathing_clip(num_frames: int = 128, height: int = 480, width: int = 640,
                    fps: float = 10.0, bpm: float = 18.0,
                    patch_center=None, patch_size=(80, 100),
                    amplitude: float = 0.1, motion_px: float = 0.0,
-                   noise: float = 0.005, seed: int = 0,
+                   drift_px=(0.0, 0.0), noise: float = 0.005, seed: int = 0,
                    dtype=np.float32) -> np.ndarray:
     """(T, H, W) float frames in [0, 1] with a breathing patch.
 
     amplitude: peak intensity modulation of the patch.
     motion_px: if > 0, the patch also translates vertically by this many
       pixels (for optical-flow-mode testing).
+    drift_px: (dy, dx) total linear translation of the patch CENTER over
+      the clip (a moving subject, for the streaming-calibrator tests).
     """
     rng = np.random.default_rng(seed)
     if patch_center is None:
         patch_center = (height // 2, width // 2)
     cy, cx = patch_center
     ph, pw = patch_size
+    dy_total, dx_total = drift_px
 
     yy, xx = np.mgrid[0:height, 0:width]
     background = 0.45 + 0.1 * np.sin(2 * np.pi * xx / 97.0) \
@@ -44,10 +47,17 @@ def breathing_clip(num_frames: int = 128, height: int = 480, width: int = 640,
     env_y = np.exp(-0.5 * ((yy - cy) / (ph / 2.0)) ** 2)
     env_x = np.exp(-0.5 * ((xx - cx) / (pw / 2.0)) ** 2)
     envelope = env_y * env_x
+    denom = max(num_frames - 1, 1)
     for i in range(num_frames):
+        fy = cy + dy_total * i / denom
+        fx = cx + dx_total * i / denom
         shift = motion_px * phase[i]
-        if shift:
-            env = np.exp(-0.5 * ((yy - cy - shift) / (ph / 2.0)) ** 2) * env_x
+        if shift or fy != cy:
+            env = np.exp(-0.5 * ((yy - fy - shift) / (ph / 2.0)) ** 2)
+            env = env * (env_x if fx == cx else
+                         np.exp(-0.5 * ((xx - fx) / (pw / 2.0)) ** 2))
+        elif fx != cx:
+            env = env_y * np.exp(-0.5 * ((xx - fx) / (pw / 2.0)) ** 2)
         else:
             env = envelope
         frame = background + amplitude * phase[i] * env

@@ -5,25 +5,47 @@ model of every stage of the reference monitor, written against the semantics
 documented in SURVEY.md (with reference file:line citations inline).  It is
 used to validate the JAX/TPU kernels; it is NOT part of the shipped framework.
 
-peakutils is not installed in this environment, so its two entry points used
-by the reference (``indexes`` at base.py:314 and ``gaussian_fit`` at
-base.py:327) are re-derived here from the published peakutils semantics
-(relative threshold + plateau-filled first differences + greedy min-distance
-suppression; scipy ``curve_fit`` Gaussian with p0 = [max(y), x[0],
-5*(x[1]-x[0])]).
+peakutils is not installed in this environment, so its entry points used by
+the reference (``indexes`` at base.py:314, ``gaussian_fit``/``gaussian`` at
+base.py:327-328) are provided two ways: the VENDORED actual peakutils
+sources (tests/golden/vendor/peakutils.py — what the golden pipeline below
+runs) and an independent re-derivation from the published semantics
+(``rederived_*`` below, cross-checked against the vendored copy in
+tests/test_peaks.py).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from .vendor import peakutils as vendored_peakutils
+
 
 # ---------------------------------------------------------------------------
-# peakutils oracle
+# peakutils oracle — the vendored actual sources are authoritative; the
+# re-derivations document the semantics independently.
 # ---------------------------------------------------------------------------
 
 def peakutils_indexes(y, thres=0.3, min_dist=1):
-    """Oracle for peakutils.indexes (reference call: base.py:314)."""
+    """peakutils.indexes (reference call: base.py:314) — vendored source."""
+    return vendored_peakutils.indexes(np.asarray(y, dtype=float),
+                                      thres=thres, min_dist=min_dist)
+
+
+def peakutils_gaussian(x, ampl, center, dev):
+    return vendored_peakutils.gaussian(x, ampl, center, dev)
+
+
+def peakutils_gaussian_fit(x, y, center_only=True):
+    """peakutils.gaussian_fit (reference call: base.py:327) — vendored
+    source.  Raises RuntimeError on non-convergence like curve_fit."""
+    return vendored_peakutils.gaussian_fit(np.asarray(x, dtype=float),
+                                           np.asarray(y, dtype=float),
+                                           center_only=center_only)
+
+
+def rederived_indexes(y, thres=0.3, min_dist=1):
+    """Independent re-derivation of peakutils.indexes semantics."""
     y = np.asarray(y, dtype=float)
     thres = thres * (np.max(y) - np.min(y)) + np.min(y)
     min_dist = int(min_dist)
@@ -65,19 +87,19 @@ def peakutils_indexes(y, thres=0.3, min_dist=1):
     return cand
 
 
-def peakutils_gaussian(x, ampl, center, dev):
+def rederived_gaussian(x, ampl, center, dev):
     return ampl * np.exp(-((x - center) ** 2) / (2.0 * dev ** 2))
 
 
-def peakutils_gaussian_fit(x, y, center_only=True):
-    """Oracle for peakutils.gaussian_fit: scipy curve_fit with the peakutils
-    initial guess.  Raises RuntimeError on non-convergence like curve_fit."""
+def rederived_gaussian_fit(x, y, center_only=True):
+    """Independent re-derivation of peakutils.gaussian_fit: scipy curve_fit
+    with the peakutils initial guess."""
     from scipy.optimize import curve_fit
 
     x = np.asarray(x, dtype=float)
     y = np.asarray(y, dtype=float)
     p0 = [np.max(y), x[0], (x[1] - x[0]) * 5.0]
-    params, _ = curve_fit(peakutils_gaussian, x, y, p0)
+    params, _ = curve_fit(rederived_gaussian, x, y, p0)
     return params[1] if center_only else params
 
 

@@ -71,6 +71,38 @@ def test_threshold_is_relative():
     np.testing.assert_array_equal(got, want)
 
 
+def test_vendored_peakutils_matches_rederivation():
+    # Two independent implementations of the same semantics: the vendored
+    # actual peakutils sources (tests/golden/vendor, what the golden
+    # pipeline runs) and the from-scratch re-derivation must agree.
+    cases = [np.array([0., 1., 1., 1., 0., 2., 2., 0., 3., 0., 0., 5., 5.,
+                       5., 5., 0.]),
+             np.ones(64),
+             np.array([0., 5., 0., 0., 5., 0., 0., 0.]),
+             np.array([10., 11., 10., 10., 20., 10., 10., 12., 10.])]
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        cases.append(rng.standard_normal(128))
+    for y in cases:
+        for md in (1, 2, 4, 10):
+            np.testing.assert_array_equal(
+                golden.vendored_peakutils.indexes(y.astype(float),
+                                                  min_dist=md),
+                golden.rederived_indexes(y, min_dist=md),
+                err_msg=f"min_dist={md}")
+
+
+def test_vendored_gaussian_fit_matches_rederivation():
+    t = np.linspace(0.0, 6.0, 24)
+    rng = np.random.default_rng(5)
+    for ampl, c, dev in [(1.0, 2.0, 0.5), (2.5, 1.0, 3.0), (0.3, 4.0, 0.7)]:
+        y = golden.rederived_gaussian(t, ampl, c, dev) \
+            + 0.01 * rng.standard_normal(t.size)
+        want = golden.rederived_gaussian_fit(t, y, center_only=False)
+        got = golden.vendored_peakutils.gaussian_fit(t, y, center_only=False)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
 def test_breathing_like_signal():
     rng = np.random.default_rng(99)
     fps, bpm = 10.0, 18.0

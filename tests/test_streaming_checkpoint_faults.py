@@ -92,6 +92,70 @@ def test_streaming_tracks_roi_continuously():
     assert found >= 20
 
 
+def test_streaming_roi_follows_moving_subject():
+    # The module's headline capability: the subject's center translates
+    # across the frame and the streaming ROI must follow it (the batch
+    # calibrator would freeze the ROI at its initial position and lose the
+    # subject).  The reference's suppress-top quirk masks the STRONGEST
+    # response region, so boxes occasionally widen over the trailing smear
+    # — the robust invariants are containment of the (window-lagged) true
+    # center, a small median center error, and net travel with the subject.
+    T = 16
+    n = 80
+    drift = (16.0, 28.0)   # patch center moves (18,20) -> (34,48)
+    cfg = CalibrationConfig(buffer_length=T, pyramid_levels=4,
+                            skip_levels_at_top=1)
+    # bpm 37.5 at 10 fps = one full breathing period per 16-frame window,
+    # so the bandpass energy is phase-stable frame to frame.
+    clip = breathing_clip(num_frames=n, height=60, width=80, fps=FPS,
+                          bpm=37.5, patch_center=(18, 20),
+                          patch_size=(10, 12), amplitude=0.35,
+                          drift_px=drift, noise=0.0)
+
+    def true_center(i):
+        # The window averages frames [i-T+1, i]; the localized center lags
+        # the instantaneous subject by about half a window.
+        mid = i - (T - 1) / 2.0
+        return (18.0 + drift[0] * mid / (n - 1),
+                20.0 + drift[1] * mid / (n - 1))
+
+    state = streaming.init_streaming_state(60, 80, cfg)
+    errs = []
+    centers = []
+    first_box = None
+    contained = 0
+    for i in range(n):
+        state, res = streaming.streaming_update(
+            state, jnp.asarray(clip[i]), FPS, cfg)
+        if i >= T + 2 and bool(res.found):
+            x, y = int(res.x), int(res.y)
+            w, h = int(res.w), int(res.h)
+            if first_box is None:
+                first_box = (x, y, w, h)
+            ty, tx = true_center(i)
+            contained += int((x <= tx <= x + w) and (y <= ty <= y + h))
+            errs.append(np.hypot(y + h / 2.0 - ty, x + w / 2.0 - tx))
+            centers.append((y + h / 2.0, x + w / 2.0))
+    # Localizes on EVERY frame once the window is full...
+    assert len(centers) == n - T - 2, "missed localizations while tracking"
+    # ...always containing the moving subject...
+    assert contained == len(centers), \
+        f"subject escaped the ROI {len(centers) - contained} time(s)"
+    # ...with the box center following closely...
+    assert np.median(errs) <= 4.0, f"median center error {np.median(errs)}"
+    # ...and traveling with the subject (not a lucky static box).
+    moved = np.hypot(centers[-1][0] - centers[0][0],
+                     centers[-1][1] - centers[0][1])
+    true_moved = np.hypot(*drift) * (len(centers) / n)
+    assert moved >= 0.4 * true_moved, (moved, true_moved)
+    # A frozen calibration box would have LOST the subject: its final true
+    # center lies outside the first localized box.
+    fx, fy, fw, fh = first_box
+    ty_f, tx_f = 18.0 + drift[0], 20.0 + drift[1]
+    assert not ((fx <= tx_f <= fx + fw) and (fy <= ty_f <= fy + fh)), \
+        "drift too small to demonstrate tracking"
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint / resume
 # ---------------------------------------------------------------------------
