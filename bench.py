@@ -84,10 +84,15 @@ def main_headline():
     total = cal_len + 1 + measure_len
 
     log("generating synthetic 640x480 clip...")
+    # texture_motion: the patch texture genuinely translates with breathing
+    # (corners physically move), giving flow a strong non-decaying signal —
+    # envelope-only translation produced a ~20x-diluted apparent-motion
+    # signal whose startup transient admitted a spurious peak (round 2's
+    # 23.76-vs-18.0 headline gap; VERDICT r2 #1).
     clip = breathing_clip(num_frames=total, height=480, width=640,
                           fps=fps_video, bpm=18.0, patch_center=(240, 320),
                           patch_size=(80, 100), amplitude=0.12,
-                          motion_px=2.0)
+                          motion_px=2.0, texture_motion=True)
     cal_np = np.ascontiguousarray(clip[:cal_len], np.float32)
     rest_np = np.ascontiguousarray(clip[cal_len + 1:], np.float32)
     cal = jnp.asarray(cal_np)
@@ -113,12 +118,39 @@ def main_headline():
     jax.block_until_ready(res.samples)
     log(f"measure compile+first run: {time.time()-t0:.1f}s")
     has = np.asarray(res.has_bpm)
+    bpm_tail_median = bpm_oracle_delta = None
     if has.any():
         tail = np.asarray(res.bpm)[has][-10:]
-        log(f"BPM tail median: {float(np.median(tail)):.2f} "
-            f"(last {float(tail[-1]):.2f}; true 18.0 — the synthetic clip "
-            f"admits a spurious early peak the reference chain also keeps, "
-            f"see tests/golden parity)")
+        bpm_tail_median = float(np.median(tail))
+        # End-to-end credibility check (VERDICT r2 #1): run the device's
+        # own sample trace through the golden reference chain
+        # (scipy filtfilt + peakutils + curve_fit) window by window and
+        # compare the BPM tails.
+        try:
+            import sys as _sys
+            if "/root/repo" not in _sys.path:
+                _sys.path.insert(0, "/root/repo")
+            from tests.golden import reference_numpy as golden
+
+            samples_np = np.asarray(res.samples)
+            t_np = np.asarray(res.t)
+            n_ring = cfg.measure.buffer_length
+            total_t = len(samples_np)
+            oracle_tail = []
+            for i in range(total_t - 10, total_t):
+                lo = max(0, i + 1 - n_ring)
+                ob, _, _, _ = golden.measure_bpm(
+                    samples_np[lo:i + 1], t_np[lo:i + 1], fps_video)
+                oracle_tail.append(ob if ob is not None else np.nan)
+            oracle_med = float(np.nanmedian(np.asarray(oracle_tail)))
+            bpm_oracle_delta = abs(bpm_tail_median - oracle_med)
+            log(f"BPM tail median: {bpm_tail_median:.2f} (true 18.0); "
+                f"golden-oracle tail median on the same trace: "
+                f"{oracle_med:.2f}; |device - oracle| = "
+                f"{bpm_oracle_delta:.3f}")
+        except Exception as e:  # oracle needs scipy; never sink the bench
+            log(f"BPM tail median: {bpm_tail_median:.2f} (true 18.0); "
+                f"oracle cross-check unavailable: {e!r}")
 
     # --- timed: device-resident (kernel throughput).  Each iteration works
     # on a perturbed copy staged in HBM (distinct dispatches; see _timed).
@@ -172,13 +204,29 @@ def main_headline():
         f"({realtime_x:.0f}x real-time); {fps_chip_up:.0f} fps/chip "
         f"incl. H2D upload")
 
-    print(json.dumps({
+    out = {
         "metric": "evm_calibration_plus_flow_measurement_640x480",
         "value": round(fps_chip, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps_chip / REFERENCE_BEST_FPS, 1),
         "value_with_upload": round(fps_chip_up, 1),
-    }))
+    }
+    if bpm_tail_median is not None:
+        out["bpm_tail_median"] = round(bpm_tail_median, 3)
+        out["bpm_true"] = 18.0
+    if bpm_oracle_delta is not None:
+        out["bpm_oracle_delta"] = round(bpm_oracle_delta, 4)
+    print(json.dumps(out))
+
+
+def _warmup():
+    import jax
+    import jax.numpy as jnp
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    _ = float(jnp.asarray(1.0) + 1.0)
+    log(f"transfer warmup: {time.time()-t0:.1f}s")
 
 
 def main_multistream(streams: int = 64):
@@ -191,10 +239,7 @@ def main_multistream(streams: int = 64):
     from respmon_tpu.parallel import streams as fleet
     from respmon_tpu.pipeline import evm, motion
 
-    log(f"devices: {jax.devices()}")
-    t0 = time.time()
-    _ = float(jnp.asarray(1.0) + 1.0)
-    log(f"transfer warmup: {time.time()-t0:.1f}s")
+    _warmup()
 
     fps_video = 10.0
     H, W = 1080, 1920
@@ -305,14 +350,477 @@ def main_multistream(streams: int = 64):
     }))
 
 
+def main_fleet_breakdown(streams: int = 64):
+    """Stage-level breakdown of the 64x1080p fleet step (VERDICT r2 #2).
+
+    Each stage runs as its own jitted program with in-jit repetition
+    (lax.scan over R reps, inputs perturbed per rep so CSE/memoization
+    cannot collapse them); two rep counts are timed and differenced so the
+    ~26 ms dispatch floor cancels.  States carry REALISTIC full signal
+    rings (the shipped fleet bench warms only 3 steps, so its rings are
+    nearly empty and the BPM stage is under-loaded there)."""
+    import jax
+    import jax.numpy as jnp
+
+    from respmon_tpu.config import MonitorConfig
+    from respmon_tpu.io.synthetic import breathing_clip
+    from respmon_tpu.ops import gaussfit, filters, peaks as peaks_mod
+    from respmon_tpu.parallel import streams as fleet
+    from respmon_tpu.pipeline import bpm as bpm_mod
+    from respmon_tpu.pipeline import evm, motion
+
+    _warmup()
+    fps_video = 10.0
+    H, W = 1080, 1920
+    cfg = MonitorConfig(motion_extraction_method="flow")
+    mcfg = cfg.measure
+
+    log("1080p locate for the fleet ROI...")
+    cal = breathing_clip(num_frames=cfg.calibration.buffer_length, height=H,
+                         width=W, fps=fps_video, bpm=18.0,
+                         patch_center=(540, 960), patch_size=(180, 220),
+                         amplitude=0.12, motion_px=3.0)
+    loc = evm.locate(jnp.asarray(cal, jnp.float32), fps_video,
+                     cfg.calibration)
+    assert bool(loc.found)
+    x, y, w, h = int(loc.x), int(loc.y), int(loc.w), int(loc.h)
+    del cal
+    log(f"roi: {(x, y, w, h)}")
+
+    mon = fleet.MultiStreamMonitor(cfg, mesh=None, frame_hw=(H, W),
+                                   fps=fps_video)
+    boxes = np.tile(np.asarray([[x, y, w, h]], np.int32), (streams, 1))
+    spec = motion.MeasureSpec.for_roi(cfg, H, W, w, h, fps_video)
+    import dataclasses as _dc
+    spec = _dc.replace(spec, lk_sample=fleet.fleet_lk_sample(
+        cfg, spec.crop_h, spec.crop_w, streams))
+    mon.spec = spec
+    mon.states = fleet.init_stream_states(spec, boxes)
+    log(f"crop bucket {spec.crop_h}x{spec.crop_w}, "
+        f"lk_sample={spec.lk_sample}")
+
+    rng = np.random.default_rng(0)
+    frames_np = rng.random((streams, H, W), np.float32) * 0.2 + 0.4
+    frames_v = [jnp.asarray(np.roll(frames_np, s, axis=2))
+                for s in (0, 1, 2)]
+    np.asarray(frames_v[-1][0, 0, :4])
+    for i in range(3):   # corner-detect + settle tracking
+        np.asarray(mon.step(frames_v[i % 3]).samples)
+
+    # Install realistic steady-state rings: full count, per-stream phase-
+    # shifted breathing traces (3-4 peak candidates + LM fits per stream).
+    n_ring = mcfg.buffer_length
+    t_axis = np.arange(n_ring, dtype=np.float32) / fps_video
+    ph = rng.uniform(0, 2 * np.pi, streams).astype(np.float32)
+    ring = 0.15 * np.sin(2 * np.pi * 0.3 * t_axis[None, :] + ph[:, None]) \
+        + 0.01 * rng.standard_normal((streams, n_ring)).astype(np.float32)
+    motion_ring = np.stack(
+        [0.02 * np.ones((streams, n_ring), np.float32),
+         ring.astype(np.float32)], axis=-1)
+    states = mon.states._replace(
+        data=jnp.asarray(ring, jnp.float32),
+        t=jnp.broadcast_to(jnp.asarray(t_axis), (streams, n_ring)),
+        count=jnp.full((streams,), n_ring, jnp.int32),
+        motion_xy=jnp.asarray(motion_ring, jnp.float32),
+        motion_count=jnp.full((streams,), n_ring, jnp.int32))
+    mon.states = states
+    coeffs, min_dist = mon.coeffs, mon.min_dist
+
+    def timed_call(fn, payloads):
+        """Median seconds over distinct dispatches fn(i, payload)."""
+        ts = []
+        for i, pay in enumerate(payloads):
+            t0 = time.time()
+            np.asarray(fn(jnp.float32(1e-6 * (i + 1)), pay))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    def reps_program(body, r):
+        """jit(eps -> scalar) running ``body(x_perturbation)`` r times."""
+
+        @jax.jit
+        def run(eps, payload):
+            def sbody(c, j):
+                return c + body(eps * (j + 1.0), payload), None
+            out, _ = jax.lax.scan(sbody, jnp.float32(0.0),
+                                  jnp.arange(r, dtype=jnp.float32))
+            return out
+        return run
+
+    R1, R2 = 2, 6
+    stage_ms = {}
+
+    def time_stage(name, body, payload, r1=R1, r2=R2, calls=3):
+        f1 = reps_program(body, r1)
+        f2 = reps_program(body, r2)
+        np.asarray(f1(jnp.float32(0.0), payload))  # compile
+        np.asarray(f2(jnp.float32(0.0), payload))
+        t1 = timed_call(f1, [payload] * calls)
+        t2 = timed_call(f2, [payload] * calls)
+        ms = (t2 - t1) / (r2 - r1) * 1e3
+        stage_ms[name] = ms
+        log(f"  {name:34s} {ms:7.2f} ms")
+        return ms
+
+    log(f"--- per-stage device times ({streams} streams, "
+        f"R={R1}vs{R2} in-jit reps, dispatch-floor-free) ---")
+
+    rois = states.roi
+    pts, pts_valid = states.pts, states.pts_valid
+    prev_crop = states.prev_crop
+
+    def crop_body(eps, fr):
+        def one(f, roi):
+            c, m, _ = motion._crop_and_mask(f + eps, roi, spec)
+            return jnp.sum(motion._to_u8_scale(jnp.where(m, c, 0.0)))
+        return jnp.sum(jax.vmap(one)(fr, rois))
+    time_stage("crop+u8 (from 1080p frames)", crop_body, frames_v[0])
+
+    # Crops as standalone inputs for the build/track stages.
+    @jax.jit
+    def make_crops(fr):
+        def one(f, roi):
+            c, m, _ = motion._crop_and_mask(f, roi, spec)
+            return motion._to_u8_scale(jnp.where(m, c, 0.0))
+        return jax.vmap(one)(fr, rois)
+
+    crops_a = make_crops(frames_v[1])
+    crops_b = make_crops(frames_v[2])
+    np.asarray(crops_b[0, 0, :4])
+
+    from respmon_tpu.ops import lk as lk_mod
+    win = spec.lk.win_size[0]
+    max_level = spec.lk.max_level
+
+    def prev_build_body(eps, crops):
+        def one(c):
+            ins = lk_mod.precompute_frame_inputs(c + eps, win, max_level,
+                                                 with_patches=False)
+            return sum(jnp.sum(s) for s in ins.stacks)
+        return jnp.sum(jax.vmap(one)(crops))
+    time_stage("prev stacks (pyr+Scharr+pad)", prev_build_body, crops_a)
+
+    def next_build_body(eps, crops):
+        def one(c):
+            ins = lk_mod.precompute_frame_inputs(
+                c + eps, win, max_level, with_stacks=False,
+                with_patches=True, patch_dtype=jnp.bfloat16)
+            return sum(jnp.sum(p.astype(jnp.float32)) for p in ins.patches)
+        return jnp.sum(jax.vmap(one)(crops))
+    time_stage("next patches16 (pyr+pad+im2col)", next_build_body, crops_a)
+
+    def lk_body(eps, crops):
+        def one(pc, c, p, v):
+            fr = lk_mod.calc_optical_flow_pyr_lk(
+                pc, c + eps, p, v, win=win, max_level=max_level,
+                max_iters=spec.lk.max_iters, eps=spec.lk.epsilon,
+                sample=spec.lk_sample)
+            return jnp.sum(fr.pts) + jnp.sum(fr.status)
+        return jnp.sum(jax.vmap(one)(prev_crop, crops, pts, pts_valid))
+    time_stage("LK full (builds + Newton)", lk_body, crops_b)
+
+    def step_body(eps, fr):
+        def one(st, f):
+            st2, sample = motion.measure_step(st, f + eps, spec,
+                                              initialized_hint=True)
+            return sample + jnp.sum(st2.pts)
+        return jnp.sum(jax.vmap(one)(states, fr))
+    time_stage("measure_step (crop+LK+PCA+rings)", step_body, frames_v[1])
+
+    data, t_st, count = states.data, states.t, states.count
+
+    def filt_body(eps, d):
+        def one(di, ci):
+            return jnp.sum(filters.filtfilt_masked(coeffs, di + eps, ci))
+        return jnp.sum(jax.vmap(one)(d, count))
+    time_stage("filtfilt (masked Hillis-Steele)", filt_body, data)
+
+    @jax.jit
+    def make_filtered(d):
+        return jax.vmap(lambda di, ci: filters.filtfilt_masked(
+            coeffs, di, ci))(d, count)
+
+    filtered = make_filtered(data)
+    np.asarray(filtered[0, :4])
+
+    def peaks_body(eps, f):
+        def one(fi, ci):
+            idx, mask = peaks_mod.peak_indexes_masked(
+                fi + eps, ci, min_dist, thres=mcfg.peak_threshold,
+                max_peaks=mcfg.max_peaks)
+            return jnp.sum(idx) + jnp.sum(mask)
+        return jnp.sum(jax.vmap(one)(f, count))
+    time_stage("peak candidates", peaks_body, filtered)
+
+    # Gaussian-fit stage on the real candidate windows of these rings.
+    @jax.jit
+    def make_windows(f, d_t):
+        def one(fi, ti, ci):
+            n = fi.shape[0]
+            width = max(min_dist, 1)
+            cand_idx, cand_mask = peaks_mod.peak_indexes_masked(
+                fi, ci, min_dist, thres=mcfg.peak_threshold,
+                max_peaks=mcfg.max_peaks)
+            start = n - ci
+            i_loc = cand_idx - start
+            w1 = jnp.where(i_loc - width < 0, i_loc, width)
+            w2 = jnp.where(i_loc + w1 > ci, ci - i_loc, w1)
+            offs = jnp.arange(2 * width)
+            gidx = cand_idx[:, None] - w2[:, None] + offs[None, :]
+            gclip = jnp.clip(gidx, 0, n - 1)
+            wt = ti[gclip]
+            wy = fi[gclip]
+            wm = cand_mask[:, None] & (offs[None, :] < 2 * w2[:, None]) \
+                & (gidx >= 0) & (gidx < n)
+            return wt, wy, wm
+        return jax.vmap(one)(f, d_t, count)
+
+    win_t, win_y, win_m = make_windows(filtered, t_st)
+    np.asarray(win_m[0, 0, :4])
+    n_cand = int(np.asarray(win_m.any(axis=2).sum()))
+    log(f"  (candidate windows in flight: {n_cand} across {streams} "
+        f"streams)")
+
+    def fit_body(eps, wy):
+        def one(wt, w_y, wm):
+            r = gaussfit.gaussian_fit_batch(wt, w_y + eps, wm)
+            return jnp.sum(r.dev) + jnp.sum(r.converged)
+        return jnp.sum(jax.vmap(one)(win_t, wy, win_m))
+    time_stage("gaussian LM fit (batched)", fit_body, win_y)
+
+    def bpm_body(eps, d):
+        def one(di, ti, ci):
+            r = bpm_mod.estimate_bpm(di + eps, ti, ci, coeffs, min_dist,
+                                     mcfg)
+            return r.bpm + jnp.sum(r.filtered)
+        return jnp.sum(jax.vmap(one)(d, t_st, count))
+    time_stage("estimate_bpm full", bpm_body, data)
+
+    def full_body(eps, fr):
+        def one(st, f):
+            st2, sample = motion.measure_step(st, f + eps, spec,
+                                              initialized_hint=True)
+            r = bpm_mod.estimate_bpm(st2.data, st2.t, st2.count, coeffs,
+                                     min_dist, mcfg)
+            return sample + r.bpm
+        return jnp.sum(jax.vmap(one)(states, fr))
+    full_ms = time_stage("FULL fused step (full rings)", full_body,
+                         frames_v[1])
+
+    # The shipped fleet-bench conditions (nearly-empty rings) for contrast.
+    empty = mon.states._replace(
+        data=jnp.zeros_like(data), count=jnp.full((streams,), 3, jnp.int32),
+        motion_count=jnp.full((streams,), 3, jnp.int32))
+
+    def full_empty_body(eps, fr):
+        def one(st, f):
+            st2, sample = motion.measure_step(st, f + eps, spec,
+                                              initialized_hint=True)
+            r = bpm_mod.estimate_bpm(st2.data, st2.t, st2.count, coeffs,
+                                     min_dist, mcfg)
+            return sample + r.bpm
+        return jnp.sum(jax.vmap(one)(empty, fr))
+    time_stage("FULL fused step (3-sample rings)", full_empty_body,
+               frames_v[1])
+
+    derived = {
+        "newton_loop_ms": stage_ms["LK full (builds + Newton)"]
+        - stage_ms["prev stacks (pyr+Scharr+pad)"]
+        - stage_ms["next patches16 (pyr+pad+im2col)"],
+        "flow_update_rings_ms":
+            stage_ms["measure_step (crop+LK+PCA+rings)"]
+            - stage_ms["LK full (builds + Newton)"]
+            - stage_ms["crop+u8 (from 1080p frames)"],
+        "bpm_overhead_ms": stage_ms["FULL fused step (full rings)"]
+            - stage_ms["measure_step (crop+LK+PCA+rings)"],
+    }
+    for k, v in derived.items():
+        log(f"  {k:34s} {v:7.2f} ms (derived)")
+
+    print(json.dumps({
+        "metric": f"fleet_step_breakdown_{streams}x1080p",
+        "value": round(full_ms, 2),
+        "unit": "ms/step (in-jit, dispatch-floor-free)",
+        "vs_baseline": 0,
+        "stages_ms": {k: round(v, 2) for k, v in stage_ms.items()},
+        "derived_ms": {k: round(v, 2) for k, v in derived.items()},
+    }))
+
+
+def main_live(measure_frames: int = 256, capture_ms: float = 15.0):
+    """End-to-end LIVE-path throughput (VERDICT r2 #3): synthetic frames
+    stream through the lossless FrameFeeder -> device_put -> fused
+    measure+BPM step with a per-frame host fetch (the monitor's exact
+    loop), vs the same loop reading the capture synchronously.
+
+    ``capture_ms`` simulates per-frame decode cost (in-memory arrays decode
+    for free, which would make capture/compute overlap unmeasurable; real
+    cameras/files pay 10-30 ms).  Also reports a uint8-upload variant: the
+    H2D payload drops 4x by shipping camera-native uint8 and converting on
+    device (what a production deployment should do on a thin host link)."""
+    import jax
+    import jax.numpy as jnp
+
+    from respmon_tpu.config import MonitorConfig
+    from respmon_tpu.io.capture import ArrayCapture
+    from respmon_tpu.io.synthetic import breathing_clip
+    from respmon_tpu.ops import filters
+    from respmon_tpu.pipeline import evm, motion
+    from respmon_tpu.pipeline import bpm as bpm_mod
+    from respmon_tpu.runtime.feeder import FrameFeeder
+    from respmon_tpu.runtime.monitor import _measure_and_estimate
+
+    _warmup()
+    fps_video = 10.0
+    cfg = MonitorConfig(motion_extraction_method="flow")
+    cal_len = cfg.calibration.buffer_length
+    total = cal_len + 1 + measure_frames
+    log("generating clip...")
+    clip = breathing_clip(num_frames=total, height=480, width=640,
+                          fps=fps_video, bpm=18.0, patch_center=(240, 320),
+                          patch_size=(80, 100), amplitude=0.12,
+                          motion_px=2.0, texture_motion=True)
+    loc = evm.locate(jnp.asarray(clip[:cal_len]), fps_video,
+                     cfg.calibration)
+    assert bool(loc.found)
+    x, y, w, h = int(loc.x), int(loc.y), int(loc.w), int(loc.h)
+    log(f"roi {(x, y, w, h)}")
+    spec = motion.MeasureSpec.for_roi(cfg, 480, 640, w, h, fps_video)
+    coeffs = filters.design_butter_lowpass(0.5, fps_video,
+                                           cfg.measure.filter_order)
+    rest = np.ascontiguousarray(clip[cal_len + 1:], np.float32)
+    rest_u8 = np.clip(rest * 255.0, 0, 255).astype(np.uint8)
+
+    def fresh_state():
+        return motion.init_state(spec, (x, y, w, h))
+
+    # Compile both step variants once.
+    st = fresh_state()
+    st, s, _ = _measure_and_estimate(st, jax.device_put(rest[0]), spec,
+                                     coeffs, 10, cfg.measure)
+    float(s)
+
+    @jax.jit
+    def step_u8(state, frame_u8):
+        frame = frame_u8.astype(jnp.float32) / 255.0
+        new_state, sample = motion.measure_step(state, frame, spec)
+        res = bpm_mod.estimate_bpm(new_state.data, new_state.t,
+                                   new_state.count, coeffs, 10, cfg.measure)
+        return new_state, sample, res
+
+    st = fresh_state()
+    st, s, _ = step_u8(st, jax.device_put(rest_u8[0]))
+    float(s)
+
+    class SlowSource:
+        """ArrayCapture + simulated per-frame decode cost."""
+
+        def __init__(self, frames, delay_s):
+            self._src = ArrayCapture(frames, fps=fps_video)
+            self._delay = delay_s
+            self.fps = self._src.fps
+            self.width = self._src.width
+            self.height = self._src.height
+
+        def next_frame(self):
+            f = self._src.next_frame()
+            if f is not None and self._delay:
+                time.sleep(self._delay)
+            return f
+
+        def is_open(self):
+            return self._src.is_open()
+
+        def release(self):
+            self._src.release()
+
+    delay = capture_ms * 1e-3
+
+    def run_sync(frames, step):
+        src = SlowSource(frames, delay)
+        state = fresh_state()
+        n = 0
+        t0 = time.time()
+        while True:
+            f = src.next_frame()
+            if f is None:
+                break
+            state, sample, res = step(state, jax.device_put(f), spec,
+                                      coeffs, 10, cfg.measure) \
+                if step is _measure_and_estimate \
+                else step(state, jax.device_put(f))
+            float(sample)       # the monitor's per-frame host mirror
+            n += 1
+        return n / (time.time() - t0)
+
+    def run_live(frames, step):
+        feeder = FrameFeeder(SlowSource(frames, delay), capacity=4,
+                             lossless=True, dtype=frames.dtype).start()
+        state = fresh_state()
+        n = 0
+        t0 = time.time()
+        while True:
+            f, _seq = feeder.next_frame(latest=False)
+            if f is None:
+                break
+            state, sample, res = step(state, jax.device_put(f), spec,
+                                      coeffs, 10, cfg.measure) \
+                if step is _measure_and_estimate \
+                else step(state, jax.device_put(f))
+            float(sample)
+            n += 1
+        dropped = feeder.dropped
+        feeder.stop()
+        return n / (time.time() - t0), dropped
+
+    log(f"timing sync loop (f32 upload, {capture_ms:.0f} ms simulated "
+        f"decode)...")
+    fps_sync = run_sync(rest, _measure_and_estimate)
+    log(f"sync f32: {fps_sync:.1f} fps")
+    fps_live, dropped = run_live(rest, _measure_and_estimate)
+    log(f"live f32 (feeder overlap): {fps_live:.1f} fps, dropped={dropped}")
+    fps_sync_u8 = run_sync(rest_u8, step_u8)
+    log(f"sync u8 upload: {fps_sync_u8:.1f} fps")
+    fps_live_u8, dropped_u8 = run_live(rest_u8, step_u8)
+    log(f"live u8 (feeder overlap): {fps_live_u8:.1f} fps, "
+        f"dropped={dropped_u8}")
+
+    overlap = fps_live / fps_sync
+    print(json.dumps({
+        "metric": "live_path_sustained_640x480",
+        "value": round(fps_live, 1),
+        "unit": "frames/sec (feeder + upload + fused step + host fetch)",
+        "vs_baseline": round(fps_live / REFERENCE_BEST_FPS, 1),
+        "sync_fps": round(fps_sync, 1),
+        "overlap_gain": round(overlap, 2),
+        "dropped": dropped,
+        "u8_upload_live_fps": round(fps_live_u8, 1),
+        "u8_upload_sync_fps": round(fps_sync_u8, 1),
+        "simulated_capture_ms": capture_ms,
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--multistream", action="store_true",
                    help="benchmark 64-stream 1080p lockstep monitoring "
                         "(BASELINE.md config 5) instead of the headline")
     p.add_argument("--streams", type=int, default=64)
+    p.add_argument("--breakdown", action="store_true",
+                   help="per-stage breakdown of the fleet step")
+    p.add_argument("--live", action="store_true",
+                   help="sustained live-path throughput through the "
+                        "FrameFeeder (lossless), incl. uint8-upload mode")
+    p.add_argument("--frames", type=int, default=256,
+                   help="--live: number of measured frames")
+    p.add_argument("--capture-ms", type=float, default=15.0,
+                   help="--live: simulated per-frame decode cost")
     args = p.parse_args()
-    if args.multistream:
+    if args.breakdown:
+        main_fleet_breakdown(args.streams)
+    elif args.live:
+        main_live(args.frames, args.capture_ms)
+    elif args.multistream:
         main_multistream(args.streams)
     else:
         main_headline()

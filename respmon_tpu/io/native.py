@@ -96,10 +96,16 @@ class FrameRing:
     numpy ring with identical semantics.
     """
 
-    def __init__(self, capacity: int, frame_shape) -> None:
+    def __init__(self, capacity: int, frame_shape, dtype=np.float32) -> None:
         self.capacity = capacity
         self.frame_shape = tuple(frame_shape)
-        self._n = int(np.prod(frame_shape))
+        self.dtype = np.dtype(dtype)
+        # The C ring moves fixed-size float slots; other dtypes ride the
+        # same slots as raw bytes (padded up to a float boundary), so e.g.
+        # camera-native uint8 frames take 4x less ring memory/bandwidth
+        # than float32.
+        self._nbytes = int(np.prod(frame_shape)) * self.dtype.itemsize
+        self._n = (self._nbytes + 3) // 4
         self._lib = load_native()
         if self._lib is not None:
             self._ptr = self._lib.ring_create(capacity, self._n)
@@ -113,8 +119,18 @@ class FrameRing:
             self._dropped = 0
             self._lock = threading.Lock()
 
+    def _as_slot(self, frame: np.ndarray) -> np.ndarray:
+        """Contiguous frame bytes viewed as a full f32 slot."""
+        f = np.ascontiguousarray(frame, self.dtype)
+        raw = f.view(np.uint8).reshape(-1)
+        if raw.size != self._n * 4:
+            pad = np.zeros(self._n * 4, np.uint8)
+            pad[:raw.size] = raw
+            raw = pad
+        return raw.view(np.float32)
+
     def push(self, frame: np.ndarray) -> int:
-        f = np.ascontiguousarray(frame, np.float32).reshape(-1)
+        f = self._as_slot(frame)
         if self._lib is not None:
             return int(self._lib.ring_push(self._ptr, f.ctypes.data))
         with self._lock:
@@ -145,7 +161,8 @@ class FrameRing:
                 self._tail = self._head if latest else self._tail + 1
         if seq < 0:
             return None, -1
-        return out.reshape(self.frame_shape), seq
+        frame = out.view(np.uint8)[:self._nbytes].view(self.dtype)
+        return frame.reshape(self.frame_shape), seq
 
     def pop(self):
         """Oldest unread frame (FIFO) or (None, -1)."""

@@ -17,6 +17,7 @@ def breathing_clip(num_frames: int = 128, height: int = 480, width: int = 640,
                    patch_center=None, patch_size=(80, 100),
                    amplitude: float = 0.1, motion_px: float = 0.0,
                    drift_px=(0.0, 0.0), noise: float = 0.005, seed: int = 0,
+                   texture_motion: bool = False,
                    dtype=np.float32) -> np.ndarray:
     """(T, H, W) float frames in [0, 1] with a breathing patch.
 
@@ -25,6 +26,16 @@ def breathing_clip(num_frames: int = 128, height: int = 480, width: int = 640,
       pixels (for optical-flow-mode testing).
     drift_px: (dy, dx) total linear translation of the patch CENTER over
       the clip (a moving subject, for the streaming-calibrator tests).
+    texture_motion: when True (and motion_px > 0), the background TEXTURE
+      inside the patch envelope translates vertically by ``motion_px *
+      phase`` (linear resampling) instead of the envelope itself moving —
+      corners physically move with breathing, giving optical flow a
+      genuine, non-decaying displacement signal (a chest with fabric
+      texture, rather than a brightness bump gliding over static texture).
+      Envelope translation only produces *apparent* motion: LK points
+      latch onto the static texture, the extracted signal is ~20x diluted,
+      and it decays as points drift — fine for short parity tests, too
+      weak for long realistic clips (the flagship bench uses this mode).
     """
     rng = np.random.default_rng(seed)
     if patch_center is None:
@@ -52,6 +63,22 @@ def breathing_clip(num_frames: int = 128, height: int = 480, width: int = 640,
         fy = cy + dy_total * i / denom
         fx = cx + dx_total * i / denom
         shift = motion_px * phase[i]
+        if texture_motion and motion_px:
+            env = env_y if fy == cy else \
+                np.exp(-0.5 * ((yy - fy) / (ph / 2.0)) ** 2)
+            env = env * (env_x if fx == cx else
+                         np.exp(-0.5 * ((xx - fx) / (pw / 2.0)) ** 2))
+            # moving(y) = background(y - shift), linear resampling.
+            i0 = int(np.floor(shift))
+            f = shift - i0
+            moving = (1.0 - f) * np.roll(background, i0, axis=0) \
+                + f * np.roll(background, i0 + 1, axis=0)
+            frame = background + env * (moving - background) \
+                + amplitude * phase[i] * env
+            if noise:
+                frame = frame + noise * rng.standard_normal((height, width))
+            frames[i] = frame
+            continue
         if shift or fy != cy:
             env = np.exp(-0.5 * ((yy - fy - shift) / (ph / 2.0)) ** 2)
             env = env * (env_x if fx == cx else

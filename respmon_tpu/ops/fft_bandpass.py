@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,7 +89,10 @@ def temporal_bandpass_fft(vid: jnp.ndarray, fps: float, freq_min: float,
                                   float(freq_max), float(amplification))
     M = jnp.asarray(op, dtype=vid.dtype)
     flat = vid.reshape(n, -1)
-    out = jnp.dot(M, flat, preferred_element_type=flat.dtype)
+    # HIGHEST precision: the TPU default bf16 matmul shifts heatmap values
+    # enough to move bbox edges on marginal pixels (parity-load-bearing).
+    out = jnp.dot(M, flat, preferred_element_type=flat.dtype,
+                  precision=jax.lax.Precision.HIGHEST)
     return out.reshape(vid.shape)
 
 

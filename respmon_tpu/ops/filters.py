@@ -185,12 +185,14 @@ def lfilter_assoc(coeffs: FilterCoeffs, x: jnp.ndarray,
                              axis=0)
         vs = jnp.concatenate([jnp.broadcast_to(zero, (d, p)), v[:-d]],
                              axis=0)
-        M, v = (jnp.einsum("tij,tjk->tik", M, ms),
-                jnp.einsum("tij,tj->ti", M, vs) + v)
+        hi_p = jax.lax.Precision.HIGHEST  # TPU default matmul is bf16
+        M, v = (jnp.einsum("tij,tjk->tik", M, ms, precision=hi_p),
+                jnp.einsum("tij,tj->ti", M, vs, precision=hi_p) + v)
         d *= 2
     prefM, prefV = M, v
     d0 = jnp.zeros((p,), dtype) if zi is None else zi.astype(dtype)
-    d_incl = jnp.einsum("tij,j->ti", prefM, d0) + prefV
+    d_incl = jnp.einsum("tij,j->ti", prefM, d0,
+                        precision=jax.lax.Precision.HIGHEST) + prefV
     d_at = jnp.concatenate([d0[None], d_incl[:-1]], axis=0)
     return b[0] * x + d_at[:, 0]
 

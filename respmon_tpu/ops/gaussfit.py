@@ -29,6 +29,13 @@ import jax
 import jax.numpy as jnp
 
 
+# All dots in the LM loop run at HIGHEST precision: the TPU default matmul
+# precision is bf16, which perturbs the iterate path enough to flip
+# accept/reject decisions vs the CPU/scipy oracle (observed at bench
+# geometry, round 3).  These are 3x3-scale products — the cost is nil.
+_HI = jax.lax.Precision.HIGHEST
+
+
 class GaussFit(NamedTuple):
     ampl: jnp.ndarray
     center: jnp.ndarray
@@ -61,7 +68,7 @@ def _solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     adjT = jnp.array([[c00, c10, c20], [c01, c11, c21], [c02, c12, c22]])
     scale = jnp.max(jnp.abs(A)) + 1e-300
     ok = jnp.abs(det) > 1e-30 * scale ** 3
-    x = (adjT @ b) / jnp.where(ok, det, 1.0)
+    x = jnp.dot(adjT, b, precision=_HI) / jnp.where(ok, det, 1.0)
     return jnp.where(ok, x, jnp.zeros_like(b))
 
 
@@ -122,8 +129,8 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
         _, r = cost_and_resid(p)
         J = jacobian(p)
         D = jnp.maximum(D, jnp.sqrt(jnp.sum(J * J, axis=0)))
-        JtJ = J.T @ J
-        g = J.T @ r
+        JtJ = jnp.matmul(J.T, J, precision=_HI)
+        g = jnp.dot(J.T, r, precision=_HI)
         reg = 1e-10 * jnp.trace(JtJ) * jnp.eye(3, dtype=dtype)
 
         def solve(lam):
@@ -148,7 +155,9 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
 
         p_new = p + delta
         F_new, _ = cost_and_resid(p_new)
-        pred = -(2.0 * jnp.dot(g, delta) + delta @ JtJ @ delta)
+        pred = -(2.0 * jnp.dot(g, delta, precision=_HI)
+                 + jnp.dot(delta, jnp.dot(JtJ, delta, precision=_HI),
+                           precision=_HI))
         actred = F - F_new
         ratio = jnp.where(pred > 0, actred / jnp.where(pred > 0, pred, 1.0),
                           0.0)
@@ -160,7 +169,7 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
         # instead lets an early wild step (e.g. the first Gauss-Newton step
         # zeroing the amplitude) fling the iterate into a flat DC-offset
         # basin that MINPACK never visits.
-        dirder = jnp.dot(g, delta)          # <= 0 for LM/GN steps
+        dirder = jnp.dot(g, delta, precision=_HI)  # <= 0 for LM/GN steps
         temp = jnp.where(actred >= 0, 0.5,
                          0.5 * dirder / (dirder + 0.5 * actred))
         temp = jnp.where(F_new >= 100.0 * F, 0.1, temp)

@@ -123,7 +123,13 @@ def _patch_matrix(img_pad: jnp.ndarray, win: int,
     ``conv_general_dilated_patches`` rides the MXU's conv path; a
     slice-and-stack formulation measures ~18x slower on TPU (225 strided
     copies with hostile layouts), so the conv extraction wins despite its
-    nominal MAC overhead.
+    nominal MAC overhead.  NOTE: the TPU conv runs at the default bf16
+    precision, so even ``dtype=None`` (f32 storage) rounds non-integer
+    pixels of downsampled levels through the one-hot extraction — level 0
+    (uint8-scale integers) is exact either way.  The BPM chain's parity-
+    load-bearing decisions sit downstream of the (already-quantized)
+    motion samples, so this costs sample-level noise, not decision parity;
+    forcing HIGHEST here would 3x the build cost of the hot fleet path.
 
     ``dtype`` stores the matrix narrower (bf16 halves the dominant HBM
     footprint/traffic; uint8-scale level-0 pixels are integers <= 255 and

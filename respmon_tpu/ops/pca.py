@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+
+# TPU default matmul precision is bf16; the eigenvector (and thus the
+# projection sign/scale) is parity-load-bearing, so force full f32.
+_HI = jax.lax.Precision.HIGHEST
 
 
 def masked_cov2(xy: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -30,7 +35,7 @@ def masked_cov2(xy: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     n = jnp.sum(w)
     mean = jnp.sum(xy * w[:, None], axis=0) / jnp.maximum(n, 1.0)
     d = (xy - mean) * w[:, None]
-    cov = (d.T @ d) / jnp.maximum(n - 1.0, 1.0)
+    cov = jnp.matmul(d.T, d, precision=_HI) / jnp.maximum(n - 1.0, 1.0)
     return cov
 
 
@@ -79,4 +84,4 @@ def pca_project_last(motion_xy: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     cov = masked_cov2(motion_xy, mask)
     _, vecs = eigh2_desc(cov)
     evec1_row = vecs[0, :]   # row 0 of the column-sorted matrix (the quirk)
-    return jnp.dot(motion_xy[-1], evec1_row)
+    return jnp.dot(motion_xy[-1], evec1_row, precision=_HI)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,8 +61,9 @@ def dwt_db4(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     out_full = m - L + 1
     idx = jnp.arange(out_full)[:, None] + jnp.arange(L)[None, :]
     windows = ext[idx]
-    a_full = windows @ lo
-    d_full = windows @ hi
+    hi_p = jax.lax.Precision.HIGHEST  # TPU default matmul is bf16
+    a_full = jnp.dot(windows, lo, precision=hi_p)
+    d_full = jnp.dot(windows, hi, precision=hi_p)
     # pywt keeps outputs at odd phases: positions 1, 3, 5, ... of the full
     # convolution over the extended signal.
     n_out = (n + L - 1) // 2
@@ -96,7 +98,8 @@ def idwt_db4(cA: jnp.ndarray, cD: jnp.ndarray | None,
     wd = udp[idx]
     lo = jnp.asarray(rec_lo[::-1], cA.dtype)
     hi = jnp.asarray(rec_hi[::-1], cA.dtype)
-    full = wa @ lo + wd @ hi
+    hi_p = jax.lax.Precision.HIGHEST
+    full = jnp.dot(wa, lo, precision=hi_p) + jnp.dot(wd, hi, precision=hi_p)
     rec = full[L - 2:]
     return rec[:out_len]
 

@@ -181,7 +181,8 @@ def make_wsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
     def bandpass(lvl_vid):
         flat = lvl_vid.reshape(t_len, -1)
         out = jnp.dot(jnp.asarray(op, lvl_vid.dtype), flat,
-                      preferred_element_type=lvl_vid.dtype)
+                      preferred_element_type=lvl_vid.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
         return out.reshape(lvl_vid.shape)
 
     def local(vid_local):

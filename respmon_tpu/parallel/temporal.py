@@ -57,8 +57,8 @@ def _bandpass_tsharded(lvl_local: jnp.ndarray, op_full: jnp.ndarray,
     cols = jax.lax.dynamic_slice_in_dim(op_full, idx * t_local, t_local,
                                         axis=1)
     flat = lvl_local.reshape(t_local, -1)
-    partial_out = jnp.dot(cols, flat,
-                          preferred_element_type=flat.dtype)  # (T, hw)
+    partial_out = jnp.dot(cols, flat, preferred_element_type=flat.dtype,
+                          precision=jax.lax.Precision.HIGHEST)  # (T, hw)
     out_local = jax.lax.psum_scatter(partial_out, axis,
                                      scatter_dimension=0, tiled=True)
     return out_local.reshape(lvl_local.shape)

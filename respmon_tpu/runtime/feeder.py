@@ -24,10 +24,15 @@ from respmon_tpu.io.native import FrameRing
 class FrameFeeder:
     def __init__(self, capture: CaptureSource, capacity: int = 4,
                  fps_limit: Optional[float] = None,
-                 lossless: bool = False) -> None:
+                 lossless: bool = False, dtype=np.float32) -> None:
         self.capture = capture
+        # dtype: ring slot dtype.  uint8 carries camera-native frames at
+        # 4x less ring memory/H2D payload; the device converts
+        # (uint8_to_float is one fused op on the TPU side).
+        self.dtype = np.dtype(dtype)
         self.ring = FrameRing(capacity,
-                              (capture.height, capture.width))
+                              (capture.height, capture.width),
+                              dtype=self.dtype)
         self.fps_limit = fps_limit
         # Lossless mode (file/array replay): the capture thread applies
         # backpressure — it waits while the ring is full instead of
@@ -62,7 +67,7 @@ class FrameFeeder:
                         self._ended.set()
                         return
                     time.sleep(0.0005)
-            self.ring.push(np.asarray(frame, np.float32))
+            self.ring.push(np.asarray(frame, self.dtype))
             self.frames_captured += 1
             if interval:
                 remaining = interval - (time.time() - t0)

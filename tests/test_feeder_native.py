@@ -56,6 +56,45 @@ def test_ring_drop_oldest_when_full():
 
 
 @pytest.mark.parametrize("backend", ["auto", "numpy"])
+@pytest.mark.parametrize("dtype,shape", [
+    (np.uint8, (3, 5)),     # 15 bytes: exercises the non-multiple-of-4 pad
+    (np.uint8, (4, 4)),
+    (np.float64, (2, 3)),
+])
+def test_ring_arbitrary_dtype_roundtrip(backend, dtype, shape, monkeypatch):
+    """Frames of any dtype ride the float slots as raw bytes (uint8 camera
+    frames take 4x less ring memory/H2D payload than float32)."""
+    if backend == "numpy":
+        import respmon_tpu.io.native as native_mod
+        monkeypatch.setattr(native_mod, "load_native", lambda: None)
+    rng = np.random.default_rng(0)
+    ring = FrameRing(3, shape, dtype=dtype)
+    frames = [(rng.random(shape) * 200).astype(dtype) for _ in range(3)]
+    for f in frames:
+        ring.push(f)
+    for i in range(3):
+        f, seq = ring.pop()
+        assert seq == i
+        assert f.dtype == np.dtype(dtype) and f.shape == shape
+        np.testing.assert_array_equal(f, frames[i])
+
+
+def test_feeder_uint8_dtype_end_to_end():
+    frames = (np.arange(12, dtype=np.uint8).reshape(3, 2, 2) * 10)
+    feeder = FrameFeeder(ArrayCapture(frames.astype(np.float32)),
+                         capacity=4, lossless=True, dtype=np.uint8).start()
+    got = []
+    while True:
+        f, _ = feeder.next_frame(latest=False)
+        if f is None:
+            break
+        assert f.dtype == np.uint8
+        got.append(f)
+    feeder.stop()
+    np.testing.assert_array_equal(np.stack(got), frames)
+
+
+@pytest.mark.parametrize("backend", ["auto", "numpy"])
 def test_ring_dropped_counts(backend, monkeypatch):
     if backend == "numpy":
         import respmon_tpu.io.native as native_mod
