@@ -312,17 +312,62 @@ def main_multistream(streams: int = 64):
     # Warm so tracking state reaches steady shape.
     for i in range(3):
         np.asarray(run_step(i))
+    # Install FULL signal rings before timing: a deployed fleet runs with
+    # 128-sample rings and 3-4 peak candidates per stream feeding the LM
+    # fit every step; timing right after warmup (3-sample rings) would
+    # under-load the BPM stage (round-2 bench did; ~4 ms flattering).
+    n_ring = cfg.measure.buffer_length
+    t_axis = np.arange(n_ring, dtype=np.float32) / fps_video
+    phases = rng.uniform(0, 2 * np.pi, streams).astype(np.float32)
+    ring = 0.15 * np.sin(2 * np.pi * 0.3 * t_axis[None, :]
+                         + phases[:, None]) \
+        + 0.01 * rng.standard_normal((streams, n_ring)).astype(np.float32)
+    mon.states = mon.states._replace(
+        data=jnp.asarray(ring, jnp.float32),
+        t=jnp.broadcast_to(jnp.asarray(t_axis), (streams, n_ring)),
+        count=jnp.full((streams,), n_ring, jnp.int32),
+        motion_count=jnp.full((streams,), n_ring, jnp.int32))
+    np.asarray(run_step(0))
+    # _timed fetches only the LAST result: consecutive steps chain on the
+    # device state, so dispatch i+1 overlaps execution i — the production
+    # consumption mode (results are device arrays; fetch asynchronously).
     t_step = _timed(run_step, 10)
     sfps = streams / t_step
     margin = (1.0 / fps_video) / t_step
-    log(f"{streams}-stream 1080p lockstep step: {t_step*1e3:.1f} ms "
-        f"-> {sfps:.0f} stream-frames/sec/chip, {margin:.1f}x real-time "
-        f"margin at {fps_video:.0f} fps")
+    log(f"{streams}-stream 1080p lockstep step (pipelined): "
+        f"{t_step*1e3:.1f} ms -> {sfps:.0f} stream-frames/sec/chip, "
+        f"{margin:.1f}x real-time margin at {fps_video:.0f} fps")
+    # Synchronous per-step host fetch for contrast: on this tunnel a
+    # blocking readback adds ~26 ms/step.
+    t0 = time.time()
+    for i in range(6):
+        np.asarray(run_step(i + 1))
+    t_step_sync = (time.time() - t0) / 6
+    log(f"  (fetch-every-step: {t_step_sync*1e3:.1f} ms/step)")
 
-    # K-frame lockstep batches (step_many): fixed dispatch/gather latency
-    # amortizes over K; costs K frames of result latency.  K=4 with two
-    # resident batch variants keeps the staged frames at ~4 GB HBM.
+    # K-frame lockstep batches (step_many) — DIAGNOSTIC: measured ~10%
+    # slower per frame than chained single steps on this deployment (the
+    # scan's per-iteration slice of the staged (K,S,H,W) batch plus its
+    # scheduling beats the dispatch it saves), so the chained step above is
+    # the headline; kept here so the comparison stays reproducible.
     K = 4
+    batch_bytes = 2 * K * streams * H * W * 4
+    if batch_bytes > (6 << 30):
+        # Two staged (K, S, H, W) variants would crowd HBM next to the
+        # step's own patch workspace — skip the diagnostic at this scale.
+        log(f"skipping step_many diagnostic: {K}-frame batches for "
+            f"{streams} streams need {batch_bytes/2**30:.1f} GB staged")
+        print(json.dumps({
+            "metric": f"multistream_{streams}x1080p_flow_monitoring",
+            "value": round(sfps, 1),
+            "unit": "stream-frames/sec/chip",
+            "vs_baseline": round(sfps / REFERENCE_BEST_FPS, 1),
+            "step_ms": round(t_step * 1e3, 2),
+            "step_ms_sync_fetch": round(t_step_sync * 1e3, 2),
+            "realtime_margin_at_10fps": round(margin, 2),
+            "recalibration_1080p_ms": round(t_cal * 1e3, 1),
+        }))
+        return
     batch_v = [jnp.stack([frames_v[(i + k) % 3] for k in range(K)])
                for i in range(2)]
     np.asarray(batch_v[-1][0, 0, 0, :4])
@@ -339,10 +384,11 @@ def main_multistream(streams: int = 64):
 
     print(json.dumps({
         "metric": f"multistream_{streams}x1080p_flow_monitoring",
-        "value": round(sfps_b, 1),
+        "value": round(sfps, 1),
         "unit": "stream-frames/sec/chip",
-        "vs_baseline": round(sfps_b / REFERENCE_BEST_FPS, 1),
+        "vs_baseline": round(sfps / REFERENCE_BEST_FPS, 1),
         "step_ms": round(t_step * 1e3, 2),
+        "step_ms_sync_fetch": round(t_step_sync * 1e3, 2),
         "realtime_margin_at_10fps": round(margin, 2),
         f"batch{K}_ms_per_frame": round(t_batch / K * 1e3, 2),
         f"batch{K}_realtime_margin": round(margin_b, 2),
@@ -353,12 +399,14 @@ def main_multistream(streams: int = 64):
 def main_fleet_breakdown(streams: int = 64):
     """Stage-level breakdown of the 64x1080p fleet step (VERDICT r2 #2).
 
-    Each stage runs as its own jitted program with in-jit repetition
-    (lax.scan over R reps, inputs perturbed per rep so CSE/memoization
-    cannot collapse them); two rep counts are timed and differenced so the
-    ~26 ms dispatch floor cancels.  States carry REALISTIC full signal
-    rings (the shipped fleet bench warms only 3 steps, so its rings are
-    nearly empty and the BPM stage is under-loaded there)."""
+    Each stage runs as its own jitted program timed over single DISPATCHED
+    calls (inputs perturbed per call so the tunnel cannot memoize), with
+    the trivial-program dispatch floor measured and subtracted.  In-jit
+    rep differencing was measured-and-rejected here: XLA hoists every
+    rep-invariant subcomputation (prev-frame pyramids, window index math)
+    out of the rep loop, so marginal-rep cost understates the real program
+    by ~2x.  States carry REALISTIC full signal rings (3-sample rings
+    under-load the BPM stage by ~3 ms)."""
     import jax
     import jax.numpy as jnp
 
@@ -426,44 +474,36 @@ def main_fleet_breakdown(streams: int = 64):
     mon.states = states
     coeffs, min_dist = mon.coeffs, mon.min_dist
 
-    def timed_call(fn, payloads):
-        """Median seconds over distinct dispatches fn(i, payload)."""
-        ts = []
-        for i, pay in enumerate(payloads):
-            t0 = time.time()
-            np.asarray(fn(jnp.float32(1e-6 * (i + 1)), pay))
-            ts.append(time.time() - t0)
-        return float(np.median(ts))
-
-    def reps_program(body, r):
-        """jit(eps -> scalar) running ``body(x_perturbation)`` r times."""
-
-        @jax.jit
-        def run(eps, payload):
-            def sbody(c, j):
-                return c + body(eps * (j + 1.0), payload), None
-            out, _ = jax.lax.scan(sbody, jnp.float32(0.0),
-                                  jnp.arange(r, dtype=jnp.float32))
-            return out
-        return run
-
-    R1, R2 = 2, 6
     stage_ms = {}
 
-    def time_stage(name, body, payload, r1=R1, r2=R2, calls=3):
-        f1 = reps_program(body, r1)
-        f2 = reps_program(body, r2)
-        np.asarray(f1(jnp.float32(0.0), payload))  # compile
-        np.asarray(f2(jnp.float32(0.0), payload))
-        t1 = timed_call(f1, [payload] * calls)
-        t2 = timed_call(f2, [payload] * calls)
-        ms = (t2 - t1) / (r2 - r1) * 1e3
+    def time_stage(name, body, payload, calls=5):
+        """Median wall of single DISPATCHED calls of ``jit(body)``, minus
+        the trivial-program floor (measured below as stage 'floor').
+
+        Single dispatches are how the fleet actually runs (mon.step); in-jit
+        rep differencing is unusable for composite stages here — XLA hoists
+        every rep-invariant subcomputation (prev-frame pyramids, window
+        index math, ...) out of the rep loop, so marginal-rep cost
+        understates the real program by ~2x (measured).  Each call perturbs
+        its input via a distinct eps so the tunnel cannot memoize."""
+        fn = jax.jit(body)
+        np.asarray(fn(jnp.float32(0.0), payload))  # compile
+        ts = []
+        for i in range(calls):
+            t0 = time.time()
+            np.asarray(fn(jnp.float32(1e-6 * (i + 1)), payload))
+            ts.append(time.time() - t0)
+        ms = float(np.median(ts)) * 1e3 - stage_ms.get("floor", 0.0)
         stage_ms[name] = ms
-        log(f"  {name:34s} {ms:7.2f} ms")
+        log(f"  {name:36s} {ms:7.2f} ms")
         return ms
 
-    log(f"--- per-stage device times ({streams} streams, "
-        f"R={R1}vs{R2} in-jit reps, dispatch-floor-free) ---")
+    log(f"--- per-stage dispatched-program times ({streams} streams, "
+        f"floor-subtracted) ---")
+
+    stage_ms["floor"] = 0.0
+    stage_ms["floor"] = time_stage(
+        "floor", lambda eps, x: jnp.sum(x + eps), jnp.zeros((8,)))
 
     rois = states.roi
     pts, pts_valid = states.pts, states.pts_valid
@@ -623,6 +663,20 @@ def main_fleet_breakdown(streams: int = 64):
     time_stage("FULL fused step (3-sample rings)", full_empty_body,
                frames_v[1])
 
+    # The production dispatch path (MultiStreamMonitor.step through the
+    # host wrapper, state pytree round-trip included), steady-state rings.
+    mon.states = states
+    np.asarray(mon.step(frames_v[0]).samples)   # shape-settle
+    mon.states = states
+    t0 = time.time()
+    last = None
+    for i in range(10):
+        last = mon.step(frames_v[i % 3]).samples
+    np.asarray(last)
+    prod_ms = (time.time() - t0) / 10 * 1e3
+    stage_ms["mon.step production (incl dispatch)"] = prod_ms
+    log(f"  {'mon.step production (incl dispatch)':36s} {prod_ms:7.2f} ms")
+
     derived = {
         "newton_loop_ms": stage_ms["LK full (builds + Newton)"]
         - stage_ms["prev stacks (pyr+Scharr+pad)"]
@@ -631,17 +685,20 @@ def main_fleet_breakdown(streams: int = 64):
             stage_ms["measure_step (crop+LK+PCA+rings)"]
             - stage_ms["LK full (builds + Newton)"]
             - stage_ms["crop+u8 (from 1080p frames)"],
-        "bpm_overhead_ms": stage_ms["FULL fused step (full rings)"]
+        "bpm_stage_in_situ_ms": stage_ms["FULL fused step (full rings)"]
             - stage_ms["measure_step (crop+LK+PCA+rings)"],
+        "fit_load_in_situ_ms": stage_ms["FULL fused step (full rings)"]
+            - stage_ms["FULL fused step (3-sample rings)"],
     }
     for k, v in derived.items():
-        log(f"  {k:34s} {v:7.2f} ms (derived)")
+        log(f"  {k:36s} {v:7.2f} ms (derived)")
 
     print(json.dumps({
         "metric": f"fleet_step_breakdown_{streams}x1080p",
         "value": round(full_ms, 2),
-        "unit": "ms/step (in-jit, dispatch-floor-free)",
+        "unit": "ms/step device (dispatched, floor-subtracted)",
         "vs_baseline": 0,
+        "production_step_ms": round(prod_ms, 2),
         "stages_ms": {k: round(v, 2) for k, v in stage_ms.items()},
         "derived_ms": {k: round(v, 2) for k, v in derived.items()},
     }))

@@ -366,7 +366,11 @@ def precompute_frame_inputs(img: jnp.ndarray, win: int = 15,
                 _pad_for_windows(dym, win, "zero")]))
         if with_patches:
             # (win+1)^2 filter: one row holds a full bilinear support
-            # window (see _window_rows).
+            # window (see _window_rows).  Measured-and-rejected: storing
+            # the level-0 matrix as uint8 (exact for its integer pixels,
+            # half the bf16 traffic) ran ~1 ms SLOWER at 64-stream scale —
+            # the u8->f32 convert on the gather path outweighs the build-
+            # traffic saving.
             patch, _ = _patch_matrix(padded, win + 1, dtype=patch_dtype)
             patches.append(patch)
         if with_images:

@@ -118,10 +118,15 @@ def _monitor_scan_batched(states: motion.MeasureState, frames: jnp.ndarray,
                           coeffs: filters.FilterCoeffs, min_dist: int,
                           cfg, initialized: bool) -> StreamBatchResult:
     """K lockstep steps in one program: ``lax.scan`` over a (K, S, H, W)
-    frame batch.  Amortizes the per-dispatch latency floor and the
-    program's fixed gather latencies over K frames — the fleet's
-    throughput mode (adds K frames of result latency; per-frame BPM is
-    still produced for every frame)."""
+    frame batch (adds K frames of result latency; per-frame BPM is still
+    produced for every frame).
+
+    Measured caveat (64x1080p, v5e tunnel): chained single ``step``
+    dispatches with deferred fetches pipeline dispatch against execution
+    and run ~10% FASTER per frame than this scan (the per-iteration slice
+    of the multi-GB staged batch costs more than the dispatch it saves) —
+    prefer ``step`` unless dispatch latency on the target deployment
+    actually dominates."""
 
     def body(st, fr):
         r = _monitor_step_batched(st, fr, spec, coeffs, min_dist, cfg,
@@ -207,7 +212,13 @@ def make_sharded_locate(mesh: Mesh, fps: float, cfg,
                                  out_specs=p, check_vma=False))
 
 
-_PATCH_BUDGET_BYTES = 4 << 30   # fleet-wide f16 patch-matrix allowance
+# Fleet-wide bf16 patch-matrix allowance.  7 GB leaves room on a 16 GB
+# chip for device-resident frames (e.g. 128x1080p x a few staging variants
+# ~= 3 GB), states, and step workspace; 128x1080p streams (224x288 crops)
+# need 6.3 GB of patches and fit, while the slices fallback is ~12x
+# slower (measured 629 vs ~53 ms/step at 64) — so HBM, not compute, sets
+# the fleet-capacity knee.
+_PATCH_BUDGET_BYTES = 7 << 30
 
 
 def fleet_lk_sample(cfg: MonitorConfig, crop_h: int, crop_w: int,
@@ -395,9 +406,11 @@ class MultiStreamMonitor:
 
     def step_many(self, frames: np.ndarray) -> StreamBatchResult:
         """frames: (K, S, H, W) — K lockstep frames per stream in ONE
-        dispatch (lax.scan).  Amortizes fixed dispatch/gather latency over
-        K at the cost of K frames of result latency; per-frame outputs
-        (samples/bpm/error) come back stacked (K, S)."""
+        dispatch (lax.scan); per-frame outputs (samples/bpm/error) come
+        back stacked (K, S).  NOTE: measured ~10% slower per frame than
+        chained ``step`` calls with deferred fetches (see
+        _monitor_scan_batched); use for dispatch-starved deployments or
+        offline batch replay, not as the default throughput mode."""
         assert self.states is not None, "calibrate() first"
         dev = jnp.asarray(frames, self.dtype)
         initialized = not self._needs_init
