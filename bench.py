@@ -399,14 +399,16 @@ def main_multistream(streams: int = 64):
 def main_fleet_breakdown(streams: int = 64):
     """Stage-level breakdown of the 64x1080p fleet step (VERDICT r2 #2).
 
-    Each stage runs as its own jitted program timed over single DISPATCHED
-    calls (inputs perturbed per call so the tunnel cannot memoize), with
-    the trivial-program dispatch floor measured and subtracted.  In-jit
-    rep differencing was measured-and-rejected here: XLA hoists every
-    rep-invariant subcomputation (prev-frame pyramids, window index math)
-    out of the rep loop, so marginal-rep cost understates the real program
-    by ~2x.  States carry REALISTIC full signal rings (3-sample rings
-    under-load the BPM stage by ~3 ms)."""
+    Each stage runs as its own jitted program timed CHAINED-PIPELINED
+    (call i+1's input depends on call i's device result; one fetch at the
+    end) — the fleet's production consumption mode, which amortizes the
+    tunnel's unstable per-call overhead instead of subtracting it.  Two
+    rejected methodologies, both measured: in-jit rep differencing (XLA
+    hoists every rep-invariant subcomputation out of the rep loop —
+    understates ~2x) and single-dispatch floor subtraction (the per-call
+    overhead is bimodal ~13-30 ms, producing supersets that time BELOW
+    their components).  States carry REALISTIC full signal rings
+    (3-sample rings under-load the BPM stage)."""
     import jax
     import jax.numpy as jnp
 
@@ -476,34 +478,49 @@ def main_fleet_breakdown(streams: int = 64):
 
     stage_ms = {}
 
-    def time_stage(name, body, payload, calls=5):
-        """Median wall of single DISPATCHED calls of ``jit(body)``, minus
-        the trivial-program floor (measured below as stage 'floor').
-
-        Single dispatches are how the fleet actually runs (mon.step); in-jit
-        rep differencing is unusable for composite stages here — XLA hoists
-        every rep-invariant subcomputation (prev-frame pyramids, window
-        index math, ...) out of the rep loop, so marginal-rep cost
-        understates the real program by ~2x (measured).  Each call perturbs
-        its input via a distinct eps so the tunnel cannot memoize."""
+    def time_stage(name, body, payload, calls=8, windows=4):
+        """Min-of-windows chained-pipelined per-call ms of ``jit(body)`` —
+        the SAME consumption mode the fleet bench times (mon.step chains on
+        device state, fetch deferred).  Each call's eps input depends on
+        the previous call's device result, so calls serialize on device
+        while dispatches pipeline; one host fetch per window.  The MINIMUM
+        over ``windows`` repetitions rejects the tunnel's intermittent
+        ~100-250 ms hiccups, which otherwise pollute whole windows and make
+        superset programs time below their own components (both
+        single-dispatch floor subtraction and single-window chaining were
+        measured internally inconsistent here; in-jit rep differencing
+        understates ~2x via XLA hoisting of rep-invariant work).  The
+        distinct eps chain also defeats the tunnel's dispatch memoization.
+        Caveat: scalar-returning bodies let XLA drop state-output writes —
+        the "+ state materialization" / "outputs floor" stages price
+        those."""
         fn = jax.jit(body)
-        np.asarray(fn(jnp.float32(0.0), payload))  # compile
-        ts = []
-        for i in range(calls):
+
+        def scalar(out):
+            return out[0] if isinstance(out, tuple) else out
+
+        np.asarray(scalar(fn(jnp.float32(0.0), payload)))  # compile
+        np.asarray(scalar(fn(jnp.float32(1e-6), payload)))  # settle
+        best = float("inf")
+        k = 0
+        for _ in range(windows):
+            eps = jnp.float32(2e-6 + 1e-9 * k)
             t0 = time.time()
-            np.asarray(fn(jnp.float32(1e-6 * (i + 1)), payload))
-            ts.append(time.time() - t0)
-        ms = float(np.median(ts)) * 1e3 - stage_ms.get("floor", 0.0)
-        stage_ms[name] = ms
-        log(f"  {name:36s} {ms:7.2f} ms")
-        return ms
+            for _ in range(calls):
+                k += 1
+                o = scalar(fn(eps, payload))
+                eps = o * jnp.float32(1e-30) + jnp.float32(1e-6 * (k + 3))
+            np.asarray(eps)
+            best = min(best, (time.time() - t0) / calls * 1e3)
+        stage_ms[name] = best
+        log(f"  {name:36s} {best:7.2f} ms")
+        return best
 
-    log(f"--- per-stage dispatched-program times ({streams} streams, "
-        f"floor-subtracted) ---")
+    log(f"--- per-stage chained-pipelined device times ({streams} streams) "
+        f"---")
 
-    stage_ms["floor"] = 0.0
-    stage_ms["floor"] = time_stage(
-        "floor", lambda eps, x: jnp.sum(x + eps), jnp.zeros((8,)))
+    time_stage("floor (trivial program)",
+               lambda eps, x: jnp.sum(x + eps), jnp.zeros((8,)))
 
     rois = states.roi
     pts, pts_valid = states.pts, states.pts_valid
@@ -540,14 +557,22 @@ def main_fleet_breakdown(streams: int = 64):
         return jnp.sum(jax.vmap(one)(crops))
     time_stage("prev stacks (pyr+Scharr+pad)", prev_build_body, crops_a)
 
+    # The next-frame build depends on the sampling mode: onehot/slices only
+    # need the padded pyramid; patches modes also build im2col matrices.
+    with_patches = spec.lk_sample in ("patches", "patches16")
+
     def next_build_body(eps, crops):
         def one(c):
             ins = lk_mod.precompute_frame_inputs(
                 c + eps, win, max_level, with_stacks=False,
-                with_patches=True, patch_dtype=jnp.bfloat16)
-            return sum(jnp.sum(p.astype(jnp.float32)) for p in ins.patches)
+                with_patches=with_patches, with_images=not with_patches,
+                patch_dtype=(jnp.bfloat16 if spec.lk_sample == "patches16"
+                             else None))
+            arrs = ins.patches if with_patches else ins.images
+            return sum(jnp.sum(p.astype(jnp.float32)) for p in arrs)
         return jnp.sum(jax.vmap(one)(crops))
-    time_stage("next patches16 (pyr+pad+im2col)", next_build_body, crops_a)
+    next_build_name = f"next build ({spec.lk_sample})"
+    time_stage(next_build_name, next_build_body, crops_a)
 
     def lk_body(eps, crops):
         def one(pc, c, p, v):
@@ -647,6 +672,40 @@ def main_fleet_breakdown(streams: int = 64):
     full_ms = time_stage("FULL fused step (full rings)", full_body,
                          frames_v[1])
 
+    # Same program but RETURNING the full new state: XLA must materialize
+    # every state output (prev_crop, pts, rings, ...) to HBM, as the real
+    # fleet step does — the delta vs the scalar-returning stage is the
+    # state write-out + copy cost the stage bodies above get DCE'd.
+    def full_state_body(eps, fr):
+        def one(st, f):
+            st2, sample = motion.measure_step(st, f + eps, spec,
+                                              initialized_hint=True)
+            r = bpm_mod.estimate_bpm(st2.data, st2.t, st2.count, coeffs,
+                                     min_dist, mcfg)
+            return sample + r.bpm, st2
+        s, st2 = jax.vmap(one)(states, fr)
+        return jnp.sum(s), st2
+    time_stage("FULL + state materialization", full_state_body, frames_v[1])
+
+    # Pure output-buffer cost: a near-trivial program returning the same
+    # state-shaped pytree (every leaf runtime-dependent so nothing folds
+    # or aliases).  If this is large, the FULL-vs-state gap is per-output
+    # tunnel handle overhead, not device compute — a deployment floor a
+    # direct-attached TPU would not pay.
+    def outputs_floor_body(eps, fr):
+        small = eps > jnp.float32(2.0)   # runtime-False for our eps
+
+        def pert(x):
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                return x + eps.astype(x.dtype)
+            if x.dtype == jnp.bool_:
+                return x & ~small
+            return x + small.astype(x.dtype)
+        st2 = jax.tree_util.tree_map(pert, states)
+        return jnp.sum(fr[0, 0, :4] + eps), st2
+    time_stage("outputs floor (state-shaped)", outputs_floor_body,
+               frames_v[1])
+
     # The shipped fleet-bench conditions (nearly-empty rings) for contrast.
     empty = mon.states._replace(
         data=jnp.zeros_like(data), count=jnp.full((streams,), 3, jnp.int32),
@@ -680,7 +739,7 @@ def main_fleet_breakdown(streams: int = 64):
     derived = {
         "newton_loop_ms": stage_ms["LK full (builds + Newton)"]
         - stage_ms["prev stacks (pyr+Scharr+pad)"]
-        - stage_ms["next patches16 (pyr+pad+im2col)"],
+        - stage_ms[next_build_name],
         "flow_update_rings_ms":
             stage_ms["measure_step (crop+LK+PCA+rings)"]
             - stage_ms["LK full (builds + Newton)"]
@@ -689,6 +748,14 @@ def main_fleet_breakdown(streams: int = 64):
             - stage_ms["measure_step (crop+LK+PCA+rings)"],
         "fit_load_in_situ_ms": stage_ms["FULL fused step (full rings)"]
             - stage_ms["FULL fused step (3-sample rings)"],
+        "state_writeout_ms": stage_ms["FULL + state materialization"]
+            - stage_ms["FULL fused step (full rings)"],
+        "output_handle_overhead_ms":
+            stage_ms["outputs floor (state-shaped)"]
+            - stage_ms["floor (trivial program)"],
+        "host_wrapper_dispatch_ms":
+            stage_ms["mon.step production (incl dispatch)"]
+            - stage_ms["FULL + state materialization"],
     }
     for k, v in derived.items():
         log(f"  {k:36s} {v:7.2f} ms (derived)")
@@ -696,7 +763,7 @@ def main_fleet_breakdown(streams: int = 64):
     print(json.dumps({
         "metric": f"fleet_step_breakdown_{streams}x1080p",
         "value": round(full_ms, 2),
-        "unit": "ms/step device (dispatched, floor-subtracted)",
+        "unit": "ms/step device (chained-pipelined)",
         "vs_baseline": 0,
         "production_step_ms": round(prod_ms, 2),
         "stages_ms": {k: round(v, 2) for k, v in stage_ms.items()},

@@ -212,42 +212,25 @@ def make_sharded_locate(mesh: Mesh, fps: float, cfg,
                                  out_specs=p, check_vma=False))
 
 
-# Fleet-wide bf16 patch-matrix allowance.  7 GB leaves room on a 16 GB
-# chip for device-resident frames (e.g. 128x1080p x a few staging variants
-# ~= 3 GB), states, and step workspace; 128x1080p streams (224x288 crops)
-# need 6.3 GB of patches and fit, while the slices fallback is ~12x
-# slower (measured 629 vs ~53 ms/step at 64) — so HBM, not compute, sets
-# the fleet-capacity knee.
-_PATCH_BUDGET_BYTES = 7 << 30
-
-
 def fleet_lk_sample(cfg: MonitorConfig, crop_h: int, crop_w: int,
                     n_streams: int) -> str:
     """Pick the fleet's LK next-window sampling mode.
 
-    f16 im2col patch matrices cut the Newton-iteration gather from ~11 ms
-    to ~0.6 ms at 64-stream scale (row-takes ride the fast gather layout),
-    at ~(win^2)/2 x the crop in HBM per stream per frame; fall back to the
-    exact O(points) slice sampling when the fleet-wide footprint would
-    crowd HBM.  Non-TPU backends (CPU tests, parity work) always use the
-    exact mode."""
+    TPU fleets use ``"onehot"`` (one-hot MXU window extraction, see
+    ops/lk.py _window_onehot): bit-exact f32, O(points) memory, ~1.5 ms
+    per Newton iteration at 64-stream scale with ZERO per-step build cost.
+    It supersedes the round-2 ``"patches16"`` mode (bf16 im2col row-takes:
+    ~0.3 ms/iteration but a ~21 ms + 2.5 GB HBM matrix build per fleet
+    step, which also imposed a 7 GB patch budget that capped fleet
+    capacity at 128x1080p streams; onehot removes that HBM knee entirely).
+    Non-TPU backends (CPU tests, parity work) use the exact O(points)
+    slice sampling — same results bit-for-bit, no MXU to feed."""
     import jax as _jax
 
+    del crop_h, crop_w, n_streams  # no HBM budget to check anymore
     if _jax.default_backend() not in ("tpu", "axon"):
         return "slices"
-    win = cfg.lk.win_size[0]
-    pad = win + 2
-    total = 0
-    h, w = crop_h, crop_w
-    for _ in range(cfg.lk.max_level + 1):
-        # patches16 builds (hp-win)*(wp-win) rows of (win+1)^2 bf16 each:
-        # _patch_matrix with filter size win+1 (one row per full bilinear
-        # support window, see ops/lk.py _window_rows).
-        hp, wp = h + 2 * pad, w + 2 * pad
-        total += (hp - win) * (wp - win) * (win + 1) * (win + 1) * 2
-        h, w = (h + 1) // 2, (w + 1) // 2
-    return "patches16" if total * n_streams <= _PATCH_BUDGET_BYTES \
-        else "slices"
+    return "onehot"
 
 
 def init_stream_states(spec: motion.MeasureSpec, rois: np.ndarray,

@@ -48,7 +48,8 @@ class MeasureSpec:
     lk: LKParams = LKParams()
     # LK next-window sampling mode for the live step (see
     # ops/lk.py calc_optical_flow_pyr_lk): 'slices' is exact and O(points)
-    # memory; 'patches16' is the fleet throughput mode.
+    # memory; 'onehot' (bit-identical, MXU-fed) is the fleet throughput
+    # mode; 'patches16' is the legacy bf16 im2col mode.
     lk_sample: str = "slices"
 
     @staticmethod

@@ -139,12 +139,14 @@ def test_lk_invalid_inputs_stay_invalid():
     assert not bool(np.asarray(fr.status).any())
 
 
-@pytest.mark.parametrize("sample", ["patches", "patches16"])
+@pytest.mark.parametrize("sample", ["patches", "patches16", "onehot"])
 def test_lk_sampling_modes_agree(sample):
     # "slices" (the live default) is bit-identical to "patches" (same
-    # pixels, same FP order); "patches16" stores the im2col matrix in bf16
-    # (level-0 uint8-scale pixels are exact; downsampled levels round) so
-    # tracked points agree to well under the cv2-parity tolerance.
+    # pixels, same FP order) and to "onehot" (one-hot MXU extraction at
+    # Precision.HIGHEST returns the exact pixels, then the same bilinear
+    # order); "patches16" stores the im2col matrix in bf16 (level-0
+    # uint8-scale pixels are exact; downsampled levels round) so tracked
+    # points agree to well under the cv2-parity tolerance.
     from scipy.ndimage import gaussian_filter, shift as ndshift
 
     rng = np.random.default_rng(7)
@@ -167,7 +169,7 @@ def test_lk_sampling_modes_agree(sample):
                                   np.asarray(got.status))
     d = np.abs(np.asarray(ref.pts) - np.asarray(got.pts))
     both = np.asarray(ref.status)
-    if sample == "patches":
-        assert d[both].max() == 0.0, "patches must be bit-identical"
+    if sample in ("patches", "onehot"):
+        assert d[both].max() == 0.0, f"{sample} must be bit-identical"
     else:
         assert d[both].max() < 0.05, f"patches16 deviation {d[both].max()}"

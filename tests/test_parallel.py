@@ -237,9 +237,11 @@ def test_locate_tsharded_collectives_are_expected():
     assert "all-to-all" not in txt
 
 
-def test_fleet_patches16_step_close_to_slices():
-    # The fleet's TPU throughput mode (bf16 im2col LK sampling) must agree
-    # with the exact slice mode within bf16 rounding on a live step chain.
+def test_fleet_lk_sampling_modes_step_agree():
+    # The fleet's TPU throughput mode ("onehot" one-hot MXU LK sampling)
+    # must be BIT-identical to the exact slice mode on a live step chain;
+    # the legacy "patches16" mode (bf16 im2col) agrees within bf16
+    # rounding.
     import dataclasses
 
     from respmon_tpu.ops import filters
@@ -254,7 +256,7 @@ def test_fleet_patches16_step_close_to_slices():
     boxes = np.tile(np.asarray([[2, 2, 30, 24]], np.int32), (4, 1))
 
     results = {}
-    for mode in ("slices", "patches16"):
+    for mode in ("slices", "onehot", "patches16"):
         sp = dataclasses.replace(spec, lk_sample=mode)
         states = streams_mod.init_stream_states(sp, boxes)
         samples = []
@@ -267,6 +269,7 @@ def test_fleet_patches16_step_close_to_slices():
         results[mode] = np.stack(samples)
         assert not np.asarray(states.error).any()
 
+    np.testing.assert_array_equal(results["onehot"], results["slices"])
     np.testing.assert_allclose(results["patches16"], results["slices"],
                                atol=5e-3)
 
