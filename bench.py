@@ -292,8 +292,13 @@ def main_multistream(streams: int = 64):
     # Three device-resident frame batches with real ±1 px inter-frame
     # shifts: the timed steps then do genuine LK tracking work (constant
     # frames would converge in one Newton iteration and flatter the step).
+    # Staged as camera-native uint8 (the production ingest; crops widen to
+    # the exact u8 lattice on device) — 4x less HBM than f32 staging,
+    # which is what lets 256-stream fleets hold 3 frame variants.
     rng = np.random.default_rng(0)
-    frames_np = rng.random((streams, H, W), np.float32) * 0.2 + 0.4
+    frames_np = np.trunc(
+        (rng.random((streams, H, W), np.float32) * 0.2 + 0.4) * 255.0
+    ).astype(np.uint8)
     frames_v = [jnp.asarray(np.roll(frames_np, s, axis=2))
                 for s in (0, 1, 2)]
     np.asarray(frames_v[-1][0, 0, :4])
@@ -351,7 +356,7 @@ def main_multistream(streams: int = 64):
     # scheduling beats the dispatch it saves), so the chained step above is
     # the headline; kept here so the comparison stays reproducible.
     K = 4
-    batch_bytes = 2 * K * streams * H * W * 4
+    batch_bytes = 2 * K * streams * H * W * frames_v[0].dtype.itemsize
     if batch_bytes > (6 << 30):
         # Two staged (K, S, H, W) variants would crowd HBM next to the
         # step's own patch workspace — skip the diagnostic at this scale.
@@ -724,9 +729,15 @@ def main_fleet_breakdown(streams: int = 64):
 
     # The production dispatch path (MultiStreamMonitor.step through the
     # host wrapper, state pytree round-trip included), steady-state rings.
-    mon.states = states
+    # step() DONATES its input state, so hand it fresh copies — the
+    # original `states` leaves are captured as constants by the stage
+    # closures above and must stay alive.
+    def states_copy():
+        return jax.tree_util.tree_map(jnp.copy, states)
+
+    mon.states = states_copy()
     np.asarray(mon.step(frames_v[0]).samples)   # shape-settle
-    mon.states = states
+    mon.states = states_copy()
     t0 = time.time()
     last = None
     for i in range(10):

@@ -35,6 +35,12 @@ import jax.numpy as jnp
 # geometry, round 3).  These are 3x3-scale products — the cost is nil.
 _HI = jax.lax.Precision.HIGHEST
 
+# Stage depths for the parallel-in-lambda trust-region bisect (see
+# gaussian_fit_single): each stage batch-solves a 2^k+1-point sqrt-midpoint
+# grid and replays k bisect levels as index arithmetic.  (8, 8, 8) covers
+# the default 24 levels in 3 batched solves instead of 24 chained ones.
+_BISECT_STAGES = (8, 8, 8)
+
 
 class GaussFit(NamedTuple):
     ampl: jnp.ndarray
@@ -141,15 +147,45 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
         inside = gn_norm <= Delta
 
         # Bisect the LM parameter in log space until ||D delta|| ~= Delta.
-        def bisect(_, lohi):
-            lo, hi = lohi
-            mid = jnp.sqrt(lo * hi)
-            dn = jnp.sqrt(jnp.sum((D * solve(mid)) ** 2))
-            return jnp.where(dn > Delta, mid, lo), jnp.where(dn > Delta, hi, mid)
+        # BIT-IDENTICAL parallel formulation of the sequential geometric
+        # bisect (mid = sqrt(lo*hi); lo = mid if ||D solve(mid)|| > Delta):
+        # every midpoint a k-level bisect can visit lies on the k-level
+        # sqrt-interleaved grid over [lo, hi], so each stage materializes
+        # that grid (the same sqrt expressions the scalar loop would
+        # evaluate), batch-solves ALL candidate lambdas in one vmapped
+        # 3x3 solve, and replays the bisect as pure index arithmetic over
+        # the predicate array.  Sequential depth drops from
+        # ``bisect_iters`` chained solves to ``len(stages)`` batched ones
+        # — the LM fit is latency-bound, not FLOP-bound, on TPU.
+        def norm_at(lam):
+            return jnp.sqrt(jnp.sum((D * solve(lam)) ** 2))
 
-        lo, hi = jax.lax.fori_loop(
-            0, bisect_iters, bisect,
-            (jnp.asarray(1e-12, dtype), jnp.asarray(1e12, dtype)))
+        def bisect_stage(lo, hi, k):
+            pts = jnp.stack([lo, hi])
+            for _ in range(k):            # sqrt-midpoint interleave
+                mids = jnp.sqrt(pts[:-1] * pts[1:])
+                pts = jnp.reshape(
+                    jnp.concatenate([pts[:-1, None], mids[:, None]],
+                                    axis=1), (-1,))
+                pts = jnp.concatenate([pts, hi[None]])
+            go_up = jax.vmap(norm_at)(pts) > Delta   # lo <- mid when True
+            i_lo, i_hi = jnp.asarray(0), jnp.asarray(2 ** k)
+            for _ in range(k):            # index replay of the bisect
+                i_mid = (i_lo + i_hi) // 2
+                up = go_up[i_mid]
+                i_lo = jnp.where(up, i_mid, i_lo)
+                i_hi = jnp.where(up, i_hi, i_mid)
+            return pts[i_lo], pts[i_hi]
+
+        lo = jnp.asarray(1e-12, dtype)
+        hi = jnp.asarray(1e12, dtype)
+        done_levels = 0
+        for k in _BISECT_STAGES:
+            k = min(k, bisect_iters - done_levels)
+            if k <= 0:
+                break
+            lo, hi = bisect_stage(lo, hi, k)
+            done_levels += k
         par = jnp.sqrt(lo * hi)
         delta = jnp.where(inside, d_gn, solve(par))
 

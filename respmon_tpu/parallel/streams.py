@@ -87,7 +87,7 @@ def _monitor_step_batched(states: motion.MeasureState, frames: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg",
-                                   "initialized"))
+                                   "initialized"), donate_argnums=(0,))
 def monitor_step_streams(states: motion.MeasureState, frames: jnp.ndarray,
                          spec: motion.MeasureSpec,
                          coeffs: filters.FilterCoeffs, min_dist: int,
@@ -100,7 +100,13 @@ def monitor_step_streams(states: motion.MeasureState, frames: jnp.ndarray,
     loops exit independently.
 
     ``initialized=True`` (static) compiles the steady-state program with no
-    corner-detection branch (see motion.measure_step)."""
+    corner-detection branch (see motion.measure_step).
+
+    The incoming ``states`` pytree is DONATED: every step consumes the
+    previous step's output state, so XLA aliases the state outputs onto the
+    input buffers instead of allocating+copying ~(S x state) HBM each call.
+    Callers must not touch a states object after passing it here (rebind to
+    ``result.state``, as ``MultiStreamMonitor.step`` does)."""
     return _monitor_step_batched(states, frames, spec, coeffs, min_dist,
                                  cfg, initialized)
 
@@ -139,11 +145,12 @@ def _monitor_scan_batched(states: motion.MeasureState, frames: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg",
-                                   "initialized"))
+                                   "initialized"), donate_argnums=(0,))
 def monitor_scan_streams(states, frames, spec, coeffs, min_dist, cfg,
                          initialized: bool = False) -> StreamBatchResult:
     """Single-device / GSPMD K-frame lockstep batch (see
-    _monitor_scan_batched)."""
+    _monitor_scan_batched).  ``states`` is donated (see
+    monitor_step_streams)."""
     return _monitor_scan_batched(states, frames, spec, coeffs, min_dist,
                                  cfg, initialized)
 
@@ -166,7 +173,7 @@ def make_sharded_monitor_scan(mesh: Mesh, spec: motion.MeasureSpec,
         local, mesh=mesh, in_specs=(p, pk),
         out_specs=StreamBatchResult(
             state=p, samples=pk, bpm=pk, has_bpm=pk, error=pk),
-        check_vma=False))
+        check_vma=False), donate_argnums=(0,))
 
 
 @lru_cache(maxsize=64)
@@ -186,8 +193,11 @@ def make_sharded_monitor_step(mesh: Mesh, spec: motion.MeasureSpec,
     # check_vma=False: the step is collective-free by construction (verified
     # in tests via HLO inspection); the varying-axis analysis rejects scan
     # carries initialized from constants inside the per-shard program.
+    # States are donated: each step consumes its predecessor's output (see
+    # monitor_step_streams).
     return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(p, p),
-                                 out_specs=p, check_vma=False))
+                                 out_specs=p, check_vma=False),
+                   donate_argnums=(0,))
 
 
 @lru_cache(maxsize=64)
@@ -368,9 +378,13 @@ class MultiStreamMonitor:
                              boxes=jnp.asarray(boxes, jnp.int32))
 
     def step(self, frames: np.ndarray) -> StreamStepResult:
-        """frames: (S, H, W) — one new frame per stream."""
+        """frames: (S, H, W) — one new frame per stream.  ``uint8`` frames
+        are shipped to the device as-is (4x less upload/staging HBM than
+        float; crops widen to the exact u8 lattice on device, see
+        motion.measure_step)."""
         assert self.states is not None, "calibrate() first"
-        dev = jnp.asarray(frames, self.dtype)
+        dev = jnp.asarray(frames) if frames.dtype == np.uint8 \
+            else jnp.asarray(frames, self.dtype)
         initialized = not self._needs_init
         if self.mesh is not None:
             dev = shard_streams(dev, self.mesh)
@@ -393,9 +407,11 @@ class MultiStreamMonitor:
         back stacked (K, S).  NOTE: measured ~10% slower per frame than
         chained ``step`` calls with deferred fetches (see
         _monitor_scan_batched); use for dispatch-starved deployments or
-        offline batch replay, not as the default throughput mode."""
+        offline batch replay, not as the default throughput mode.  Accepts
+        ``uint8`` frame batches like ``step`` (4x smaller staged batch)."""
         assert self.states is not None, "calibrate() first"
-        dev = jnp.asarray(frames, self.dtype)
+        dev = jnp.asarray(frames) if frames.dtype == np.uint8 \
+            else jnp.asarray(frames, self.dtype)
         initialized = not self._needs_init
         if self.mesh is not None:
             dev = jax.device_put(dev, jax.sharding.NamedSharding(

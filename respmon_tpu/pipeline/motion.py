@@ -166,17 +166,32 @@ def measure_step(state: MeasureState, frame: jnp.ndarray,
     corner-detection branch entirely.  This matters for vmapped fleets:
     batched ``lax.cond`` lowers to a select that executes BOTH branches, so
     without the hint Shi-Tomasi runs over every stream's crop every step.
+
+    ``frame`` may be float in [0, 1] (the capture convention) OR native
+    ``uint8`` (camera bytes shipped to the device untouched — 4x less
+    upload/staging HBM).  The u8 path crops the u8 frame then widens the
+    crop to float on the exact [0, 255] integer lattice, which is
+    precisely what the reference's cv2 kernels consume (base.py:364-371)
+    — it SKIPS the float path's ``trunc(f * 255)`` reconstruction, so
+    both ingests land on identical u8-lattice crops.
     """
     crop, mask, _ = _crop_and_mask(frame, state.roi, spec)
+    u8_in = frame.dtype == jnp.uint8
+    dtype = state.data.dtype
+    if u8_in:
+        crop = crop.astype(dtype)          # exact [0, 255] lattice
 
     if spec.method == "average":
-        total = jnp.sum(jnp.where(mask, crop, 0.0))
+        total = jnp.sum(jnp.where(mask, crop, 0))
         sample = total / jnp.maximum(jnp.sum(mask), 1)
+        if u8_in:
+            sample = sample * (1.0 / 255.0)   # match the [0, 1] float scale
         new_state = state
         error = state.error
     else:
         sample, new_state, error = _flow_motion(state, crop, mask, spec,
-                                                initialized_hint)
+                                                initialized_hint,
+                                                crop_is_u8_scale=u8_in)
 
     t_next = jnp.where(state.count == 0, 0.0,
                        state.t[-1] + 1.0 / spec.fps)
@@ -224,8 +239,10 @@ def flow_update(fr, pts, valid, motion_xy, motion_count,
 
 
 def _flow_motion(state: MeasureState, crop, mask, spec: MeasureSpec,
-                 initialized_hint: bool = False):
-    crop_u8 = _to_u8_scale(jnp.where(mask, crop, 0.0))
+                 initialized_hint: bool = False,
+                 crop_is_u8_scale: bool = False):
+    crop_u8 = jnp.where(mask, crop, 0) if crop_is_u8_scale \
+        else _to_u8_scale(jnp.where(mask, crop, 0.0))
 
     def first_frame(state):
         cs = corners.good_features_to_track(

@@ -274,6 +274,62 @@ def test_fleet_lk_sampling_modes_step_agree():
                                atol=5e-3)
 
 
+def test_fleet_u8_ingest_bit_identical_to_float():
+    # Camera-native uint8 frames (4x less upload/staging HBM) must produce
+    # the SAME measurements as the float [0,1] convention: both ingests
+    # land on the identical u8-lattice crop (trunc(f*255) reconstructs
+    # every byte exactly — verified for all 256 values), so samples and
+    # BPM agree bit-for-bit.
+    import dataclasses
+
+    from respmon_tpu.ops import filters
+    from respmon_tpu.pipeline import motion
+
+    clips = _stream_clips(4, 40)
+    clips_u8 = np.clip(np.trunc(clips * 255.0), 0, 255).astype(np.uint8)
+    clips_f = clips_u8.astype(np.float32) / np.float32(255.0)
+
+    spec = motion.MeasureSpec.for_roi(FLOW_CFG, clips.shape[2],
+                                      clips.shape[3], 30, 24, FPS)
+    coeffs = filters.design_butter_lowpass(
+        FLOW_CFG.calibration.freq_max * 0.5, FPS,
+        FLOW_CFG.measure.filter_order)
+    boxes = np.tile(np.asarray([[2, 2, 30, 24]], np.int32), (4, 1))
+
+    results = {}
+    for name, frames in (("f32", clips_f), ("u8", clips_u8)):
+        sp = dataclasses.replace(spec, lk_sample="slices")
+        states = streams_mod.init_stream_states(sp, boxes)
+        samples, bpms = [], []
+        for t in range(8):
+            res = streams_mod.monitor_step_streams(
+                states, jnp.asarray(frames[:, t]), sp, coeffs, 3,
+                FLOW_CFG.measure, initialized=t > 0)
+            states = res.state
+            samples.append(np.asarray(res.samples))
+            bpms.append(np.asarray(res.bpm))
+        results[name] = (np.stack(samples), np.stack(bpms))
+        assert not np.asarray(states.error).any()
+
+    np.testing.assert_array_equal(results["u8"][0], results["f32"][0])
+    np.testing.assert_array_equal(results["u8"][1], results["f32"][1])
+
+
+def test_measure_step_u8_average_mode_matches_float():
+    # Average mode: the u8 path divides the mean by 255 to land on the
+    # float convention's [0,1] sample scale.
+    from respmon_tpu.pipeline import motion
+
+    rng = np.random.default_rng(3)
+    fr_u8 = rng.integers(0, 256, (60, 80), np.uint8)
+    fr_f = fr_u8.astype(np.float32) / np.float32(255.0)
+    spec = motion.MeasureSpec.for_roi(SMALL_CFG, 60, 80, 20, 16, FPS)
+    st = motion.init_state(spec, (10, 12, 20, 16))
+    _, s_f = motion.measure_step(st, jnp.asarray(fr_f), spec)
+    _, s_u8 = motion.measure_step(st, jnp.asarray(fr_u8), spec)
+    np.testing.assert_allclose(float(s_u8), float(s_f), rtol=1e-6)
+
+
 def test_locate_wsharded_bit_identical_to_single_device():
     # Whole-EVM W-sharded calibration: sharded pyramid/bandpass/collapse
     # with halo exchange, replicated deep tail, replicated finish.  All
