@@ -93,8 +93,16 @@ def main_headline():
                           fps=fps_video, bpm=18.0, patch_center=(240, 320),
                           patch_size=(80, 100), amplitude=0.12,
                           motion_px=2.0, texture_motion=True)
+    # Production frames are camera-native uint8: quantize the synthetic
+    # clip once and derive BOTH ingests from the same bytes — u8 for the
+    # upload path (4x less H2D), and the host-converted f32 equivalent
+    # (io/capture.py chain) for the device-resident staging and oracle.
+    clip_u8 = np.clip(np.round(clip * 255.0), 0, 255).astype(np.uint8)
+    clip = (clip_u8.astype(np.float64) * (1.0 / 255.0)).astype(np.float32)
     cal_np = np.ascontiguousarray(clip[:cal_len], np.float32)
     rest_np = np.ascontiguousarray(clip[cal_len + 1:], np.float32)
+    cal_u8 = np.ascontiguousarray(clip_u8[:cal_len])
+    rest_u8 = np.ascontiguousarray(clip_u8[cal_len + 1:])
     cal = jnp.asarray(cal_np)
     rest = jnp.asarray(rest_np)
 
@@ -166,17 +174,29 @@ def main_headline():
 
     # --- timed: with host->device upload each iteration (cold-client
     # end-to-end; surfaces the H2D cost the feeder hides in production).
+    # Frames ship CAMERA-NATIVE uint8 (4x less H2D than the f32
+    # convention) and widen on device, bit-equal to the host conversion
+    # chain (ops/dtype.uint8_to_float; tests/test_u8_ingest.py).
     # Warmup/probe use the two EXTRA trailing variants so the timed
-    # iterations [0, iters) never repeat an already-memoized dispatch.
-    cal_np_v = [cal_np + np.float32(i * 1e-6) for i in range(iters + 2)]
-    rest_np_v = [rest_np + np.float32(i * 1e-6) for i in range(iters + 2)]
+    # iterations [0, iters) never repeat an already-memoized dispatch;
+    # each variant flips one low bit so the tunnel can't memoize.
+    def _u8_variants(base, n):
+        out = []
+        for i in range(n):
+            v = base.copy()
+            v[0, 0, i] ^= 1
+            out.append(v)
+        return out
+
+    cal_u8_v = _u8_variants(cal_u8, iters + 2)
+    rest_u8_v = _u8_variants(rest_u8, iters + 2)
 
     def run_cal_up(i):
-        dev = jax.device_put(cal_np_v[i])
+        dev = jax.device_put(cal_u8_v[i])
         return evm.locate(dev, fps_video, cfg.calibration).heatmap_u8
 
     def run_meas_up(i):
-        dev = jax.device_put(rest_np_v[i])
+        dev = jax.device_put(rest_u8_v[i])
         return scan.measure_clip(dev, roi, spec, coeffs, 10,
                                  cfg.measure).samples
 
@@ -210,6 +230,7 @@ def main_headline():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps_chip / REFERENCE_BEST_FPS, 1),
         "value_with_upload": round(fps_chip_up, 1),
+        "upload_ingest": "uint8",
     }
     if bpm_tail_median is not None:
         out["bpm_tail_median"] = round(bpm_tail_median, 3)
@@ -496,9 +517,14 @@ def main_fleet_breakdown(streams: int = 64):
         measured internally inconsistent here; in-jit rep differencing
         understates ~2x via XLA hoisting of rep-invariant work).  The
         distinct eps chain also defeats the tunnel's dispatch memoization.
-        Caveat: scalar-returning bodies let XLA drop state-output writes —
-        the "+ state materialization" / "outputs floor" stages price
-        those."""
+        Every state tensor a body consumes rides in ``payload`` as a
+        RUNTIME argument — closing over device arrays bakes them into the
+        program as constants and lets XLA fold state-dependent work
+        (measured: the full fused step timed 17.8 ms with captured states
+        vs ~38 ms with state arguments — prev-pyramid builds and
+        constant-point window gathers folded away).  Scalar-returning
+        bodies still let XLA drop state-output writes — the "+ state
+        materialization" / "outputs floor" stages price those."""
         fn = jax.jit(body)
 
         def scalar(out):
@@ -531,12 +557,13 @@ def main_fleet_breakdown(streams: int = 64):
     pts, pts_valid = states.pts, states.pts_valid
     prev_crop = states.prev_crop
 
-    def crop_body(eps, fr):
+    def crop_body(eps, p):
+        fr, rois_ = p
         def one(f, roi):
             c, m, _ = motion._crop_and_mask(f + eps, roi, spec)
             return jnp.sum(motion._to_u8_scale(jnp.where(m, c, 0.0)))
-        return jnp.sum(jax.vmap(one)(fr, rois))
-    time_stage("crop+u8 (from 1080p frames)", crop_body, frames_v[0])
+        return jnp.sum(jax.vmap(one)(fr, rois_))
+    time_stage("crop+u8 (from 1080p frames)", crop_body, (frames_v[0], rois))
 
     # Crops as standalone inputs for the build/track stages.
     @jax.jit
@@ -579,31 +606,36 @@ def main_fleet_breakdown(streams: int = 64):
     next_build_name = f"next build ({spec.lk_sample})"
     time_stage(next_build_name, next_build_body, crops_a)
 
-    def lk_body(eps, crops):
-        def one(pc, c, p, v):
+    def lk_body(eps, p):
+        crops, pc_, pts_, valid_ = p
+        def one(pc, c, p_, v):
             fr = lk_mod.calc_optical_flow_pyr_lk(
-                pc, c + eps, p, v, win=win, max_level=max_level,
+                pc, c + eps, p_, v, win=win, max_level=max_level,
                 max_iters=spec.lk.max_iters, eps=spec.lk.epsilon,
                 sample=spec.lk_sample)
             return jnp.sum(fr.pts) + jnp.sum(fr.status)
-        return jnp.sum(jax.vmap(one)(prev_crop, crops, pts, pts_valid))
-    time_stage("LK full (builds + Newton)", lk_body, crops_b)
+        return jnp.sum(jax.vmap(one)(pc_, crops, pts_, valid_))
+    time_stage("LK full (builds + Newton)", lk_body,
+               (crops_b, prev_crop, pts, pts_valid))
 
-    def step_body(eps, fr):
+    def step_body(eps, p):
+        fr, st_ = p
         def one(st, f):
             st2, sample = motion.measure_step(st, f + eps, spec,
                                               initialized_hint=True)
             return sample + jnp.sum(st2.pts)
-        return jnp.sum(jax.vmap(one)(states, fr))
-    time_stage("measure_step (crop+LK+PCA+rings)", step_body, frames_v[1])
+        return jnp.sum(jax.vmap(one)(st_, fr))
+    time_stage("measure_step (crop+LK+PCA+rings)", step_body,
+               (frames_v[1], states))
 
     data, t_st, count = states.data, states.t, states.count
 
-    def filt_body(eps, d):
+    def filt_body(eps, p):
+        d, count_ = p
         def one(di, ci):
             return jnp.sum(filters.filtfilt_masked(coeffs, di + eps, ci))
-        return jnp.sum(jax.vmap(one)(d, count))
-    time_stage("filtfilt (masked Hillis-Steele)", filt_body, data)
+        return jnp.sum(jax.vmap(one)(d, count_))
+    time_stage("filtfilt (masked Hillis-Steele)", filt_body, (data, count))
 
     @jax.jit
     def make_filtered(d):
@@ -613,14 +645,15 @@ def main_fleet_breakdown(streams: int = 64):
     filtered = make_filtered(data)
     np.asarray(filtered[0, :4])
 
-    def peaks_body(eps, f):
+    def peaks_body(eps, p):
+        f, count_ = p
         def one(fi, ci):
             idx, mask = peaks_mod.peak_indexes_masked(
                 fi + eps, ci, min_dist, thres=mcfg.peak_threshold,
                 max_peaks=mcfg.max_peaks)
             return jnp.sum(idx) + jnp.sum(mask)
-        return jnp.sum(jax.vmap(one)(f, count))
-    time_stage("peak candidates", peaks_body, filtered)
+        return jnp.sum(jax.vmap(one)(f, count_))
+    time_stage("peak candidates", peaks_body, (filtered, count))
 
     # Gaussian-fit stage on the real candidate windows of these rings.
     @jax.jit
@@ -651,53 +684,59 @@ def main_fleet_breakdown(streams: int = 64):
     log(f"  (candidate windows in flight: {n_cand} across {streams} "
         f"streams)")
 
-    def fit_body(eps, wy):
+    def fit_body(eps, p):
+        wy, wt_, wm_ = p
         def one(wt, w_y, wm):
             r = gaussfit.gaussian_fit_batch(wt, w_y + eps, wm)
             return jnp.sum(r.dev) + jnp.sum(r.converged)
-        return jnp.sum(jax.vmap(one)(win_t, wy, win_m))
-    time_stage("gaussian LM fit (batched)", fit_body, win_y)
+        return jnp.sum(jax.vmap(one)(wt_, wy, wm_))
+    time_stage("gaussian LM fit (batched)", fit_body, (win_y, win_t, win_m))
 
-    def bpm_body(eps, d):
+    def bpm_body(eps, p):
+        d, t_, count_ = p
         def one(di, ti, ci):
             r = bpm_mod.estimate_bpm(di + eps, ti, ci, coeffs, min_dist,
                                      mcfg)
             return r.bpm + jnp.sum(r.filtered)
-        return jnp.sum(jax.vmap(one)(d, t_st, count))
-    time_stage("estimate_bpm full", bpm_body, data)
+        return jnp.sum(jax.vmap(one)(d, t_, count_))
+    time_stage("estimate_bpm full", bpm_body, (data, t_st, count))
 
-    def full_body(eps, fr):
+    def full_body(eps, p):
+        fr, st_ = p
         def one(st, f):
             st2, sample = motion.measure_step(st, f + eps, spec,
                                               initialized_hint=True)
             r = bpm_mod.estimate_bpm(st2.data, st2.t, st2.count, coeffs,
                                      min_dist, mcfg)
             return sample + r.bpm
-        return jnp.sum(jax.vmap(one)(states, fr))
+        return jnp.sum(jax.vmap(one)(st_, fr))
     full_ms = time_stage("FULL fused step (full rings)", full_body,
-                         frames_v[1])
+                         (frames_v[1], states))
 
     # Same program but RETURNING the full new state: XLA must materialize
     # every state output (prev_crop, pts, rings, ...) to HBM, as the real
     # fleet step does — the delta vs the scalar-returning stage is the
     # state write-out + copy cost the stage bodies above get DCE'd.
-    def full_state_body(eps, fr):
+    def full_state_body(eps, p):
+        fr, st_ = p
         def one(st, f):
             st2, sample = motion.measure_step(st, f + eps, spec,
                                               initialized_hint=True)
             r = bpm_mod.estimate_bpm(st2.data, st2.t, st2.count, coeffs,
                                      min_dist, mcfg)
             return sample + r.bpm, st2
-        s, st2 = jax.vmap(one)(states, fr)
+        s, st2 = jax.vmap(one)(st_, fr)
         return jnp.sum(s), st2
-    time_stage("FULL + state materialization", full_state_body, frames_v[1])
+    time_stage("FULL + state materialization", full_state_body,
+               (frames_v[1], states))
 
     # Pure output-buffer cost: a near-trivial program returning the same
     # state-shaped pytree (every leaf runtime-dependent so nothing folds
     # or aliases).  If this is large, the FULL-vs-state gap is per-output
     # tunnel handle overhead, not device compute — a deployment floor a
     # direct-attached TPU would not pay.
-    def outputs_floor_body(eps, fr):
+    def outputs_floor_body(eps, p):
+        fr, st_ = p
         small = eps > jnp.float32(2.0)   # runtime-False for our eps
 
         def pert(x):
@@ -706,32 +745,33 @@ def main_fleet_breakdown(streams: int = 64):
             if x.dtype == jnp.bool_:
                 return x & ~small
             return x + small.astype(x.dtype)
-        st2 = jax.tree_util.tree_map(pert, states)
+        st2 = jax.tree_util.tree_map(pert, st_)
         return jnp.sum(fr[0, 0, :4] + eps), st2
     time_stage("outputs floor (state-shaped)", outputs_floor_body,
-               frames_v[1])
+               (frames_v[1], states))
 
     # The shipped fleet-bench conditions (nearly-empty rings) for contrast.
     empty = mon.states._replace(
         data=jnp.zeros_like(data), count=jnp.full((streams,), 3, jnp.int32),
         motion_count=jnp.full((streams,), 3, jnp.int32))
 
-    def full_empty_body(eps, fr):
+    def full_empty_body(eps, p):
+        fr, st_ = p
         def one(st, f):
             st2, sample = motion.measure_step(st, f + eps, spec,
                                               initialized_hint=True)
             r = bpm_mod.estimate_bpm(st2.data, st2.t, st2.count, coeffs,
                                      min_dist, mcfg)
             return sample + r.bpm
-        return jnp.sum(jax.vmap(one)(empty, fr))
+        return jnp.sum(jax.vmap(one)(st_, fr))
     time_stage("FULL fused step (3-sample rings)", full_empty_body,
-               frames_v[1])
+               (frames_v[1], empty))
 
     # The production dispatch path (MultiStreamMonitor.step through the
     # host wrapper, state pytree round-trip included), steady-state rings.
     # step() DONATES its input state, so hand it fresh copies — the
-    # original `states` leaves are captured as constants by the stage
-    # closures above and must stay alive.
+    # original `states` leaves ride as runtime payload args in the stages
+    # above and must stay alive (donation would invalidate their buffers).
     def states_copy():
         return jax.tree_util.tree_map(jnp.copy, states)
 
@@ -761,7 +801,7 @@ def main_fleet_breakdown(streams: int = 64):
             - stage_ms["FULL fused step (3-sample rings)"],
         "state_writeout_ms": stage_ms["FULL + state materialization"]
             - stage_ms["FULL fused step (full rings)"],
-        "output_handle_overhead_ms":
+        "state_io_floor_ms":
             stage_ms["outputs floor (state-shaped)"]
             - stage_ms["floor (trivial program)"],
         "host_wrapper_dispatch_ms":
@@ -837,8 +877,9 @@ def main_live(measure_frames: int = 256, capture_ms: float = 15.0):
 
     @jax.jit
     def step_u8(state, frame_u8):
-        frame = frame_u8.astype(jnp.float32) / 255.0
-        new_state, sample = motion.measure_step(state, frame, spec)
+        # measure_step ingests camera-native u8 directly (crops the u8
+        # frame, widens to the exact [0,255] lattice on device).
+        new_state, sample = motion.measure_step(state, frame_u8, spec)
         res = bpm_mod.estimate_bpm(new_state.data, new_state.t,
                                    new_state.count, coeffs, 10, cfg.measure)
         return new_state, sample, res

@@ -13,8 +13,18 @@ import jax.numpy as jnp
 
 
 def uint8_to_float(img: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """uint8 [0,255] -> float [0,1] (reference transforms.py:20-23)."""
-    return img.astype(dtype) * (1.0 / 255.0)
+    """uint8 [0,255] -> float [0,1] (reference transforms.py:20-23).
+
+    The reference computes ``img * (1./255)`` under numpy promotion, i.e. a
+    float64 multiply.  For float32 output the bit-exact image of that chain
+    is f32 DIVISION by 255 (exhaustively equal over all 256 bytes to
+    ``f32(f64(b) * (1/255))``), while a direct f32 multiply by the f32
+    reciprocal is 1 ULP off on 70 of the 256 byte values — so the f32 path
+    divides.  float64 output reproduces the reference's multiply verbatim.
+    """
+    if jnp.dtype(dtype) == jnp.float64:
+        return img.astype(jnp.float64) * (1.0 / 255.0)
+    return img.astype(dtype) / jnp.asarray(255.0, dtype)
 
 
 def float_to_uint8(img: jnp.ndarray) -> jnp.ndarray:

@@ -36,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from respmon_tpu.config import CalibrationConfig
 from respmon_tpu.ops.fft_bandpass import packed_bandpass_operator
+from respmon_tpu.ops.dtype import uint8_to_float
 from respmon_tpu.ops.pyramid import (_K5, _down_axis, _up_axis, pyr_down,
                                      pyr_up, pyramid_shapes)
 
@@ -186,6 +187,10 @@ def make_wsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
         return out.reshape(lvl_vid.shape)
 
     def local(vid_local):
+        # Camera-native uint8 buffers widen per-shard on device (bit-equal
+        # to the host chain, ops/dtype.uint8_to_float) — the upload stays u8.
+        if vid_local.dtype == jnp.uint8:
+            vid_local = uint8_to_float(vid_local)
         # --- sharded Gaussian chain [0, split], then gather level `split`.
         gauss = [vid_local]
         for lvl in range(1, split + 1):

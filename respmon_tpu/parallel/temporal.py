@@ -79,6 +79,11 @@ def make_tsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
     last = cfg.pyramid_levels - 2
 
     def local(vid_local):
+        # Camera-native uint8 buffers widen per-shard on device (bit-equal
+        # to the host chain, ops/dtype.uint8_to_float) — the upload stays u8.
+        if vid_local.dtype == jnp.uint8:
+            from respmon_tpu.ops.dtype import uint8_to_float
+            vid_local = uint8_to_float(vid_local)
         t_local, h, w = vid_local.shape
         shapes = pyramid_shapes(h, w, cfg.pyramid_levels)
 

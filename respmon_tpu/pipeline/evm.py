@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from respmon_tpu.config import CalibrationConfig
 from respmon_tpu.ops import ccl
-from respmon_tpu.ops.dtype import float_to_uint8
+from respmon_tpu.ops.dtype import float_to_uint8, uint8_to_float
 from respmon_tpu.ops.fft_bandpass import temporal_bandpass_fft
 from respmon_tpu.ops.pyramid import (laplacian_pyramid, pyr_up,
                                      pyramid_shapes)
@@ -124,8 +124,11 @@ def eulerian_magnification_bandpass(vid: jnp.ndarray, fps: float,
                                     cfg: CalibrationConfig) -> EVMResult:
     """transforms.py:144-198 as one traced computation.
 
-    vid: (T, H, W) float frames in [0, 1].
+    vid: (T, H, W) float frames in [0, 1], or camera-native uint8 (widened
+    on device, bit-equal to the host chain — see ``locate``).
     """
+    if vid.dtype == jnp.uint8:
+        vid = uint8_to_float(vid)
     t_len, h, w = vid.shape
     levels = cfg.pyramid_levels
     shapes = pyramid_shapes(h, w, levels)
@@ -226,6 +229,8 @@ def locate_verbose(vid: jnp.ndarray, fps: float,
     """``locate`` with the reference's per-stage verbose timing
     (transforms.py verbose=True): each EVM stage is dispatched and blocked
     separately so its dt is logged.  Same result, more dispatches."""
+    if vid.dtype == jnp.uint8:
+        vid = uint8_to_float(vid)
     evm_res = eulerian_magnification_bandpass_verbose(vid, fps, cfg)
     return _locate_from_evm(evm_res, cfg)
 
@@ -238,7 +243,14 @@ def locate(vid: jnp.ndarray, fps: float, cfg: CalibrationConfig) \
 
     Returns found=False when the threshold image has no foreground (the
     reference's `len(contours) <= 0 -> None` retry path, base.py:569-570).
+
+    ``vid`` may be float frames in [0, 1] (the capture convention) OR
+    camera-native ``uint8`` — bytes ship to the device at 4x less H2D
+    bandwidth and widen here, bit-equal to the host reference conversion
+    chain (ops/dtype.uint8_to_float; reference transforms.py:20-23).
     """
+    if vid.dtype == jnp.uint8:
+        vid = uint8_to_float(vid)
     t_len, h, w = vid.shape
     shapes = pyramid_shapes(h, w, cfg.pyramid_levels)
     last = cfg.pyramid_levels - 2

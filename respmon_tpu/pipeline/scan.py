@@ -94,9 +94,14 @@ def _flow_samples_clip(crops: jnp.ndarray, mask: jnp.ndarray,
     n_ring = spec.buffer_length
     win = spec.lk.win_size[0]
     max_level = spec.lk.max_level
-    dtype = crops.dtype
+    u8_in = crops.dtype == jnp.uint8
+    dtype = jnp.dtype(jnp.float32) if u8_in else crops.dtype
 
-    crops_u8 = motion._to_u8_scale(jnp.where(mask, crops, 0.0))
+    # u8 crops are ALREADY the exact [0,255] lattice the float path's
+    # trunc(f*255) reconstructs — widen and mask, skipping the roundtrip
+    # (same as motion.measure_step's crop_is_u8_scale path).
+    crops_u8 = jnp.where(mask, crops, 0).astype(dtype) if u8_in \
+        else motion._to_u8_scale(jnp.where(mask, crops, 0.0))
 
     inputs = jax.vmap(
         lambda c: lk.precompute_frame_inputs(c, win, max_level))(crops_u8)
@@ -154,15 +159,27 @@ def measure_clip(frames: jnp.ndarray, roi: jnp.ndarray,
     Average mode has no sequential stage at all; flow mode's scan carries
     only the tracking state.  Semantics match the streaming monitor's
     per-frame path (verified in tests/test_scan_clip.py).
+
+    ``frames`` may be float in [0, 1] (the capture convention) OR
+    camera-native ``uint8`` — the clip ships to the device as bytes (4x
+    less H2D) and the ROI crop widens on device, mirroring
+    ``motion.measure_step``'s u8 ingest: the flow path lands on the exact
+    same u8-lattice crops (bit-identical samples); average mode sums the
+    exact integer lattice and rescales once (ULP-level FP reordering vs
+    the float path's per-pixel converted sum).
     """
     t_len = frames.shape[0]
-    dtype = frames.dtype
+    u8_in = frames.dtype == jnp.uint8
+    dtype = jnp.dtype(jnp.float32) if u8_in else frames.dtype
     n_ring = spec.buffer_length
     crops, mask = motion.crop_clip_and_mask(frames, roi, spec)
 
     if spec.method == "average":
-        msum = jnp.sum(jnp.where(mask, crops, 0.0), axis=(1, 2))
+        vals = crops.astype(dtype) if u8_in else crops
+        msum = jnp.sum(jnp.where(mask, vals, 0.0), axis=(1, 2))
         samples = msum / jnp.maximum(jnp.sum(mask), 1)
+        if u8_in:
+            samples = samples * (1.0 / 255.0)  # match the [0, 1] scale
         errors = jnp.zeros((t_len,), bool)
         flow_state = None
     else:
@@ -212,13 +229,19 @@ def process_clip(frames: np.ndarray, fps: float, cfg: MonitorConfig,
 
     This is ONE calibrate→measure episode: unlike the streaming monitor it
     does not recalibrate after tracking loss — ``error_frame`` reports where
-    that would have happened so callers can resume from there."""
+    that would have happened so callers can resume from there.
+
+    A camera-native ``uint8`` clip ships to the device as bytes (4x less
+    H2D than the float convention) and widens on device — locate and
+    measure_clip both accept u8 natively."""
     cal_len = cfg.calibration.buffer_length
     assert frames.shape[0] > cal_len + 2, "clip shorter than calibration"
+    u8_in = np.dtype(frames.dtype) == np.uint8
     # Frame 0 is consumed by the monitor's 'initialize' state before
     # buffering begins (base.py:423-425), so calibration covers frames
     # 1..cal_len.
-    cal = jnp.asarray(frames[1:cal_len + 1], dtype)
+    cal = jnp.asarray(frames[1:cal_len + 1]) if u8_in \
+        else jnp.asarray(frames[1:cal_len + 1], dtype)
 
     loc = evm.locate(cal, float(fps), cfg.calibration)
     if not bool(loc.found):
@@ -240,7 +263,8 @@ def process_clip(frames: np.ndarray, fps: float, cfg: MonitorConfig,
 
     # The frame right after the buffer is dropped by the reference loop (it
     # arrives during the locate iteration, base.py:427-463).
-    rest = jnp.asarray(frames[cal_len + 2:], dtype)
+    rest = jnp.asarray(frames[cal_len + 2:]) if u8_in \
+        else jnp.asarray(frames[cal_len + 2:], dtype)
     res = measure_clip(rest, jnp.asarray([x, y, w, h]), spec, coeffs,
                        min_dist, cfg.measure,
                        estimate_every_frame=estimate_every_frame)
