@@ -299,8 +299,12 @@ class MultiStreamMonitor:
             int(np.floor(self.fps / cfg.calibration.freq_max)), 1)
 
     def calibrate(self, buffers: np.ndarray) -> BatchedLocate:
-        """buffers: (S, T, H, W).  Sets up batched measure state."""
-        dev = jnp.asarray(buffers, self.dtype)
+        """buffers: (S, T, H, W) float in [0,1], or camera-native uint8
+        (bytes ship to the device at 4x less H2D bandwidth and staging HBM;
+        evm.locate widens on device).  Sets up batched measure state."""
+        dev = jnp.asarray(buffers) \
+            if np.dtype(buffers.dtype) == np.uint8 \
+            else jnp.asarray(buffers, self.dtype)
         if self.mesh is not None:
             dev = shard_streams(dev, self.mesh)
             loc = make_sharded_locate(self.mesh, self.fps,
@@ -335,7 +339,9 @@ class MultiStreamMonitor:
         ``calibrate`` instead (which rebuilds the compiled spec).
         """
         assert self.states is not None, "calibrate() first"
-        dev = jnp.asarray(buffers, self.dtype)
+        dev = jnp.asarray(buffers) \
+            if np.dtype(buffers.dtype) == np.uint8 \
+            else jnp.asarray(buffers, self.dtype)
         if self.mesh is not None:
             dev = shard_streams(dev, self.mesh)
             loc = make_sharded_locate(self.mesh, self.fps,

@@ -438,3 +438,29 @@ def test_steady_state_step_elides_the_init_cond():
     assert "cond" not in prims(True), \
         "steady-state step still contains the init/track cond"
     assert "cond" in prims(False)
+
+
+def test_fleet_calibrate_accepts_u8_buffers():
+    # Fleet calibration on camera-native uint8 buffers must find the same
+    # ROIs as the host-converted float path (evm.locate widens on device,
+    # bit-equal to the capture chain — tests/test_u8_ingest.py).
+    clips = _stream_clips(4, 34)
+    clips_u8 = np.clip(np.round(clips * 255.0), 0, 255).astype(np.uint8)
+    clips_f = (clips_u8.astype(np.float64) * (1.0 / 255.0)).astype(
+        np.float32)
+
+    mesh = make_mesh(axis_sizes=(4,), axis_names=("streams",),
+                     devices=jax.devices()[:4])
+    mon_u8 = streams_mod.MultiStreamMonitor(SMALL_CFG, mesh, (60, 80), FPS)
+    loc_u8 = mon_u8.calibrate(clips_u8[:, :32])
+    mon_f = streams_mod.MultiStreamMonitor(SMALL_CFG, mesh, (60, 80), FPS)
+    loc_f = mon_f.calibrate(clips_f[:, :32])
+
+    np.testing.assert_array_equal(np.asarray(loc_u8.found),
+                                  np.asarray(loc_f.found))
+    np.testing.assert_array_equal(np.asarray(loc_u8.boxes),
+                                  np.asarray(loc_f.boxes))
+
+    # And the recalibrate path takes u8 too.
+    loc_r = mon_u8.recalibrate(clips_u8[:, 1:33])
+    assert np.asarray(loc_r.found).shape == (4,)
