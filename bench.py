@@ -75,6 +75,7 @@ def main_headline():
     t0 = time.time()
     _ = float(jnp.asarray(1.0) + 1.0)
     log(f"transfer warmup: {time.time()-t0:.1f}s")
+    u8_widen_exact = _check_u8_widen()
 
     fps_video = 10.0
     cfg = MonitorConfig(motion_extraction_method="flow")
@@ -179,17 +180,22 @@ def main_headline():
     # chain (ops/dtype.uint8_to_float; tests/test_u8_ingest.py).
     # Warmup/probe use the two EXTRA trailing variants so the timed
     # iterations [0, iters) never repeat an already-memoized dispatch;
-    # each variant flips one low bit so the tunnel can't memoize.
-    def _u8_variants(base, n):
+    # each variant flips one low bit INSIDE the located ROI so the fetched
+    # result genuinely depends on the per-iteration variation (a flip the
+    # crop discards would leave the fetch variation-independent and at the
+    # mercy of the tunnel's memoization keying).
+    def _u8_variants(base, n, at):
+        ay, ax = at
         out = []
         for i in range(n):
             v = base.copy()
-            v[0, 0, i] ^= 1
+            v[0, ay, ax + i] ^= 1
             out.append(v)
         return out
 
-    cal_u8_v = _u8_variants(cal_u8, iters + 2)
-    rest_u8_v = _u8_variants(rest_u8, iters + 2)
+    cy, cx = y + h // 2, x + w // 2
+    cal_u8_v = _u8_variants(cal_u8, iters + 2, (cy, cx))
+    rest_u8_v = _u8_variants(rest_u8, iters + 2, (cy, cx))
 
     def run_cal_up(i):
         dev = jax.device_put(cal_u8_v[i])
@@ -231,6 +237,7 @@ def main_headline():
         "vs_baseline": round(fps_chip / REFERENCE_BEST_FPS, 1),
         "value_with_upload": round(fps_chip_up, 1),
         "upload_ingest": "uint8",
+        "u8_widen_exact_on_device": u8_widen_exact,
     }
     if bpm_tail_median is not None:
         out["bpm_tail_median"] = round(bpm_tail_median, 3)
@@ -238,6 +245,29 @@ def main_headline():
     if bpm_oracle_delta is not None:
         out["bpm_oracle_delta"] = round(bpm_oracle_delta, 4)
     print(json.dumps(out))
+
+
+def _check_u8_widen():
+    """On-device u8→f32 widen bit-parity vs the host reference chain over
+    all 256 bytes.  CPU tests prove this exhaustively on the CPU backend;
+    this check reruns it on the REAL backend (TPU lowering of f32 divide
+    is backend-specific — CLAUDE.md: verify device-vs-oracle on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from respmon_tpu.ops.dtype import uint8_to_float
+
+    b = np.arange(256, dtype=np.uint8)
+    want = (b.astype(np.float64) * (1.0 / 255.0)).astype(np.float32)
+    got = np.asarray(jax.jit(uint8_to_float)(jnp.asarray(b)))
+    ok = bool(np.array_equal(got.view(np.uint32), want.view(np.uint32)))
+    log(f"device u8 widen bit-parity vs host chain: "
+        f"{'EXACT (256/256)' if ok else 'MISMATCH'}")
+    if not ok:
+        bad = np.nonzero(got.view(np.uint32) != want.view(np.uint32))[0]
+        log(f"  differing bytes: {bad[:12].tolist()} "
+            f"({bad.size}/256 total)")
+    return ok
 
 
 def _warmup():
@@ -248,6 +278,7 @@ def _warmup():
     t0 = time.time()
     _ = float(jnp.asarray(1.0) + 1.0)
     log(f"transfer warmup: {time.time()-t0:.1f}s")
+    _check_u8_widen()
 
 
 def main_multistream(streams: int = 64):

@@ -10,6 +10,7 @@ We reproduce the wrap semantics explicitly.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def uint8_to_float(img: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
@@ -25,6 +26,26 @@ def uint8_to_float(img: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     if jnp.dtype(dtype) == jnp.float64:
         return img.astype(jnp.float64) * (1.0 / 255.0)
     return img.astype(dtype) / jnp.asarray(255.0, dtype)
+
+
+def ingest_frames(frames, dtype) -> jnp.ndarray:
+    """Stage a frame batch for device ingest: camera-native uint8 ships as
+    bytes (widened on device by the consuming kernel), anything else casts
+    to the pipeline compute ``dtype`` host-side.
+
+    The u8 ingest contract is float32 compute (the TPU production dtype;
+    ``uint8_to_float``'s f32 path is the bit-exact image of the reference
+    conversion chain) — requesting a different compute dtype with u8
+    frames raises instead of silently downgrading.
+    """
+    if np.dtype(getattr(frames, "dtype", np.float32)) == np.uint8:
+        if jnp.dtype(dtype) != jnp.float32:
+            raise ValueError(
+                "uint8 frame ingest implies float32 compute; convert "
+                f"host-side for dtype={jnp.dtype(dtype).name} "
+                "(ops/dtype.uint8_to_float)")
+        return jnp.asarray(frames)
+    return jnp.asarray(frames, dtype)
 
 
 def float_to_uint8(img: jnp.ndarray) -> jnp.ndarray:

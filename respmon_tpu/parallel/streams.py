@@ -26,6 +26,7 @@ from jax.sharding import Mesh
 
 from respmon_tpu.config import MonitorConfig
 from respmon_tpu.ops import filters
+from respmon_tpu.ops.dtype import ingest_frames
 from respmon_tpu.parallel.mesh import stream_sharding
 from respmon_tpu.pipeline import evm, motion, scan
 from respmon_tpu.pipeline import bpm as bpm_mod
@@ -302,9 +303,7 @@ class MultiStreamMonitor:
         """buffers: (S, T, H, W) float in [0,1], or camera-native uint8
         (bytes ship to the device at 4x less H2D bandwidth and staging HBM;
         evm.locate widens on device).  Sets up batched measure state."""
-        dev = jnp.asarray(buffers) \
-            if np.dtype(buffers.dtype) == np.uint8 \
-            else jnp.asarray(buffers, self.dtype)
+        dev = ingest_frames(buffers, self.dtype)
         if self.mesh is not None:
             dev = shard_streams(dev, self.mesh)
             loc = make_sharded_locate(self.mesh, self.fps,
@@ -339,9 +338,7 @@ class MultiStreamMonitor:
         ``calibrate`` instead (which rebuilds the compiled spec).
         """
         assert self.states is not None, "calibrate() first"
-        dev = jnp.asarray(buffers) \
-            if np.dtype(buffers.dtype) == np.uint8 \
-            else jnp.asarray(buffers, self.dtype)
+        dev = ingest_frames(buffers, self.dtype)
         if self.mesh is not None:
             dev = shard_streams(dev, self.mesh)
             loc = make_sharded_locate(self.mesh, self.fps,
@@ -389,8 +386,7 @@ class MultiStreamMonitor:
         float; crops widen to the exact u8 lattice on device, see
         motion.measure_step)."""
         assert self.states is not None, "calibrate() first"
-        dev = jnp.asarray(frames) if frames.dtype == np.uint8 \
-            else jnp.asarray(frames, self.dtype)
+        dev = ingest_frames(frames, self.dtype)
         initialized = not self._needs_init
         if self.mesh is not None:
             dev = shard_streams(dev, self.mesh)
@@ -416,8 +412,7 @@ class MultiStreamMonitor:
         offline batch replay, not as the default throughput mode.  Accepts
         ``uint8`` frame batches like ``step`` (4x smaller staged batch)."""
         assert self.states is not None, "calibrate() first"
-        dev = jnp.asarray(frames) if frames.dtype == np.uint8 \
-            else jnp.asarray(frames, self.dtype)
+        dev = ingest_frames(frames, self.dtype)
         initialized = not self._needs_init
         if self.mesh is not None:
             dev = jax.device_put(dev, jax.sharding.NamedSharding(

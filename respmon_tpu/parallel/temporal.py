@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from respmon_tpu.config import CalibrationConfig
+from respmon_tpu.ops.dtype import uint8_to_float
 from respmon_tpu.ops.fft_bandpass import packed_bandpass_operator
 from respmon_tpu.ops.pyramid import pyr_up, pyramid_shapes
 from respmon_tpu.pipeline import evm
@@ -82,7 +83,6 @@ def make_tsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
         # Camera-native uint8 buffers widen per-shard on device (bit-equal
         # to the host chain, ops/dtype.uint8_to_float) — the upload stays u8.
         if vid_local.dtype == jnp.uint8:
-            from respmon_tpu.ops.dtype import uint8_to_float
             vid_local = uint8_to_float(vid_local)
         t_local, h, w = vid_local.shape
         shapes = pyramid_shapes(h, w, cfg.pyramid_levels)

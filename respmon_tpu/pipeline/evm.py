@@ -125,7 +125,7 @@ def eulerian_magnification_bandpass(vid: jnp.ndarray, fps: float,
     """transforms.py:144-198 as one traced computation.
 
     vid: (T, H, W) float frames in [0, 1], or camera-native uint8 (widened
-    on device, bit-equal to the host chain — see ``locate``).
+    on device to float32, bit-equal to the host chain — see ``locate``).
     """
     if vid.dtype == jnp.uint8:
         vid = uint8_to_float(vid)
@@ -181,6 +181,8 @@ def eulerian_magnification_bandpass_verbose(vid: jnp.ndarray, fps: float,
     import time as _time
 
     log = logging.getLogger(__name__).info
+    if vid.dtype == jnp.uint8:
+        vid = uint8_to_float(vid)
     t_len = vid.shape[0]
 
     def stage(name, fn, *a):

@@ -25,6 +25,7 @@ import numpy as np
 
 from respmon_tpu.config import MonitorConfig
 from respmon_tpu.ops import filters
+from respmon_tpu.ops.dtype import ingest_frames
 from respmon_tpu.pipeline import bpm as bpm_mod
 from respmon_tpu.pipeline import evm, motion
 
@@ -236,12 +237,10 @@ def process_clip(frames: np.ndarray, fps: float, cfg: MonitorConfig,
     measure_clip both accept u8 natively."""
     cal_len = cfg.calibration.buffer_length
     assert frames.shape[0] > cal_len + 2, "clip shorter than calibration"
-    u8_in = np.dtype(frames.dtype) == np.uint8
     # Frame 0 is consumed by the monitor's 'initialize' state before
     # buffering begins (base.py:423-425), so calibration covers frames
     # 1..cal_len.
-    cal = jnp.asarray(frames[1:cal_len + 1]) if u8_in \
-        else jnp.asarray(frames[1:cal_len + 1], dtype)
+    cal = ingest_frames(frames[1:cal_len + 1], dtype)
 
     loc = evm.locate(cal, float(fps), cfg.calibration)
     if not bool(loc.found):
@@ -263,8 +262,7 @@ def process_clip(frames: np.ndarray, fps: float, cfg: MonitorConfig,
 
     # The frame right after the buffer is dropped by the reference loop (it
     # arrives during the locate iteration, base.py:427-463).
-    rest = jnp.asarray(frames[cal_len + 2:]) if u8_in \
-        else jnp.asarray(frames[cal_len + 2:], dtype)
+    rest = ingest_frames(frames[cal_len + 2:], dtype)
     res = measure_clip(rest, jnp.asarray([x, y, w, h]), spec, coeffs,
                        min_dist, cfg.measure,
                        estimate_every_frame=estimate_every_frame)

@@ -177,3 +177,16 @@ def test_sharded_locates_accept_u8():
     assert bool(r_t.found) == bool(ref.found)
     assert (int(r_t.x), int(r_t.y), int(r_t.w), int(r_t.h)) == \
         (int(ref.x), int(ref.y), int(ref.w), int(ref.h))
+
+
+def test_ingest_frames_contract():
+    from respmon_tpu.ops.dtype import ingest_frames
+
+    u8 = np.zeros((2, 4, 4), np.uint8)
+    f = np.zeros((2, 4, 4), np.float64)
+    assert ingest_frames(u8, jnp.float32).dtype == jnp.uint8   # bytes ship
+    assert ingest_frames(f, jnp.float32).dtype == jnp.float32
+    # u8 ingest implies f32 compute — anything else is an explicit error,
+    # not a silent downgrade.
+    with pytest.raises(ValueError):
+        ingest_frames(u8, jnp.float64)
