@@ -478,8 +478,10 @@ class RespiratoryMonitor:
             if self.cropped_image is None:
                 ui.set_plot_autoscale(True)
                 return
-            self.display_frame = np.clip(
-                np.trunc(self.cropped_image * 255.0), 0, 255) \
+            # nan_to_num: a blacked-out/NaN frame (fault injection) must
+            # still render (as black), not warn on the uint8 cast.
+            self.display_frame = np.nan_to_num(np.clip(
+                np.trunc(self.cropped_image * 255.0), 0, 255)) \
                 .astype(np.uint8)
             if self.config.motion_extraction_method == "flow":
                 # Flow keypoint overlay (reference base.py:272-277): white
