@@ -818,6 +818,25 @@ def main_fleet_breakdown(streams: int = 64):
     stage_ms["mon.step production (incl dispatch)"] = prod_ms
     log(f"  {'mon.step production (incl dispatch)':36s} {prod_ms:7.2f} ms")
 
+    # Same production dispatch with CAMERA-NATIVE u8 frame batches (the
+    # deployment ingest: 4x smaller staged frames, u8-lattice crops).  The
+    # stage bodies above keep f32 frames because their eps-perturbation
+    # chain needs float inputs; this times the whole-step effect instead.
+    frames_u8_v = [jnp.asarray(np.trunc(np.roll(frames_np, s, axis=2)
+                                        * 255.0).astype(np.uint8))
+                   for s in (0, 1, 2)]
+    np.asarray(frames_u8_v[-1][0, 0, :4])
+    mon.states = states_copy()
+    np.asarray(mon.step(frames_u8_v[0]).samples)   # u8 program compile
+    mon.states = states_copy()
+    t0 = time.time()
+    for i in range(10):
+        last = mon.step(frames_u8_v[i % 3]).samples
+    np.asarray(last)
+    prod_u8_ms = (time.time() - t0) / 10 * 1e3
+    stage_ms["mon.step production (u8 ingest)"] = prod_u8_ms
+    log(f"  {'mon.step production (u8 ingest)':36s} {prod_u8_ms:7.2f} ms")
+
     derived = {
         "newton_loop_ms": stage_ms["LK full (builds + Newton)"]
         - stage_ms["prev stacks (pyr+Scharr+pad)"]

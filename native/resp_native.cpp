@@ -229,4 +229,24 @@ int64_t ring_dropped(const FrameRing* r) {
     return r->dropped.load(std::memory_order_acquire);
 }
 
+// ---------------------------------------------------------------------------
+// Fleet batch collection
+// ---------------------------------------------------------------------------
+
+// Freshest-frame collection across ``n`` rings into one contiguous
+// (n, stride_floats) batch — the host side of lockstep multi-stream
+// monitoring (one fused (S, H, W) upload per fleet step instead of S
+// frame-sized ones).  Row ``i`` is written only when ring ``i`` delivers;
+// ``seqs_out[i]`` is the delivered sequence or -1 (row untouched, so the
+// caller's persistent batch keeps the stream's previous frame —
+// repeat-last-frame semantics for stale streams).  All rings must share
+// ``stride_floats`` (same frame shape/dtype).
+void rings_collect_latest(void** rings, int64_t n, float* out,
+                          int64_t stride_floats, int64_t* seqs_out) {
+    for (int64_t i = 0; i < n; ++i) {
+        auto* r = reinterpret_cast<FrameRing*>(rings[i]);
+        seqs_out[i] = ring_pop_latest(r, out + i * stride_floats);
+    }
+}
+
 }  // extern "C"

@@ -69,6 +69,9 @@ def load_native() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int64]
         lib.f32_to_u8_wrap.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_int64]
+        lib.rings_collect_latest.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -192,3 +195,30 @@ class FrameRing:
         ptr = getattr(self, "_ptr", None)
         if lib is not None and ptr:
             lib.ring_destroy(ptr)
+
+
+def collect_latest(rings, batch_f32: np.ndarray,
+                   seqs_out: np.ndarray) -> None:
+    """Freshest-frame collection across ``rings`` into a persistent
+    (S, slot_floats) float32 batch (rows of untouched streams keep their
+    previous frame; their ``seqs_out`` entry is -1).
+
+    One native call when the C++ layer is loaded and every ring is native;
+    otherwise a per-ring Python loop with identical semantics.
+    """
+    s = len(rings)
+    assert batch_f32.shape == (s, rings[0]._n) and \
+        batch_f32.dtype == np.float32 and batch_f32.flags["C_CONTIGUOUS"]
+    assert seqs_out.shape == (s,) and seqs_out.dtype == np.int64
+    lib = load_native()
+    if lib is not None and all(r._lib is not None for r in rings):
+        ptrs = (ctypes.c_void_p * s)(*[r._ptr for r in rings])
+        lib.rings_collect_latest(ptrs, s, batch_f32.ctypes.data,
+                                 rings[0]._n, seqs_out.ctypes.data)
+        return
+    for i, r in enumerate(rings):
+        frame, seq = r.pop_latest()
+        seqs_out[i] = seq
+        if frame is not None:
+            raw = np.ascontiguousarray(frame).view(np.uint8).reshape(-1)
+            batch_f32[i].view(np.uint8)[:raw.size] = raw

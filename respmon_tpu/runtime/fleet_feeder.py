@@ -1,0 +1,165 @@
+"""Lockstep multi-stream ingestion for fleet monitoring.
+
+``MultiStreamMonitor.step`` consumes one (S, H, W) batch per lockstep
+tick; production sources are S independent cameras/clips.  FleetFeeder is
+the host side of that fan-in: one decode thread per source feeds a native
+SPSC ring (runtime/feeder.py per stream), and ``next_batch`` assembles
+the freshest frame of every stream into ONE persistent contiguous batch —
+a single fused (S, H, W) upload per step instead of S frame-sized ones,
+with the C++ collector (native/resp_native.cpp rings_collect_latest)
+doing the S freshest-frame pops + row copies in one call.
+
+The reference is single-camera (its loop blocks on one ``cap.read()``,
+base.py:416-421); this is the fleet-scale generalization of that I/O
+stage for the multi-stream TPU deployment.
+
+Two lockstep semantics:
+
+- live (``lossless=False``): freshest-frame-wins per stream; a stream
+  with nothing new since the last tick keeps (repeats) its previous frame
+  and is reported in the ``stale`` mask.  Slow consumers drop old frames
+  per stream (counted per stream).
+- replay (``lossless=True``): strict FIFO per stream with capture
+  backpressure — every frame of every stream is delivered in order
+  (reference frame accounting).  Streams that end keep repeating their
+  last frame with ``active=False`` until every stream has ended.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from respmon_tpu.io.capture import CaptureSource
+from respmon_tpu.io.native import collect_latest
+from respmon_tpu.runtime.feeder import FrameFeeder
+
+
+class FleetBatch(NamedTuple):
+    frames: np.ndarray   # (S, H, W) — VIEW of the feeder's persistent
+    #                      batch buffer, valid until the next next_batch()
+    seqs: np.ndarray     # (S,) int64 per-stream sequence of the row
+    stale: np.ndarray    # (S,) bool — row repeats the previous frame
+    active: np.ndarray   # (S,) bool — stream has not ended
+
+
+class FleetFeeder:
+    def __init__(self, sources: Sequence[CaptureSource], capacity: int = 4,
+                 lossless: bool = False, dtype=np.uint8,
+                 fps_limit: Optional[float] = None) -> None:
+        assert len(sources) > 0
+        self.dtype = np.dtype(dtype)
+        h, w = sources[0].height, sources[0].width
+        for s in sources:
+            assert (s.height, s.width) == (h, w), \
+                "fleet sources must share one frame shape"
+        self.frame_shape = (h, w)
+        self.lossless = bool(lossless)
+        self.feeders = [FrameFeeder(s, capacity=capacity, lossless=lossless,
+                                    fps_limit=fps_limit, dtype=self.dtype)
+                        for s in sources]
+        self._rings = [f.ring for f in self.feeders]
+        n_floats = self._rings[0]._n
+        self._nbytes = h * w * self.dtype.itemsize
+        s_count = len(sources)
+        # Persistent batch: stale/ended rows keep their previous content.
+        self._buf = np.zeros((s_count, n_floats), np.float32)
+        self._scratch_seqs = np.empty(s_count, np.int64)
+        self._seqs = np.full(s_count, -1, np.int64)
+        self._active = np.ones(s_count, bool)
+        if self._nbytes == n_floats * 4:
+            # Frame bytes fill the f32 slots exactly -> zero-copy batch view.
+            self._frames = self._buf.view(self.dtype).reshape(
+                (s_count, h, w))
+        else:  # padded slots (nbytes % 4 != 0): per-row strided view
+            self._frames = self._buf.view(np.uint8)[:, :self._nbytes] \
+                .view(self.dtype).reshape((s_count, h, w))
+
+    def start(self) -> "FleetFeeder":
+        for f in self.feeders:
+            f.start()
+        return self
+
+    # -- lockstep assembly ------------------------------------------------
+
+    def _row_write(self, i: int, frame: np.ndarray) -> None:
+        raw = np.ascontiguousarray(frame, self.dtype).view(np.uint8) \
+            .reshape(-1)
+        self._buf[i].view(np.uint8)[:raw.size] = raw
+
+    def _next_live(self, deadline: float) -> Optional[FleetBatch]:
+        # ``fresh`` accumulates across wait iterations within this call:
+        # a row is stale only if nothing new arrived since the LAST batch.
+        fresh = np.zeros(len(self.feeders), bool)
+        while True:
+            collect_latest(self._rings, self._buf, self._scratch_seqs)
+            got = self._scratch_seqs >= 0
+            np.copyto(self._seqs, self._scratch_seqs, where=got)
+            fresh |= got
+            ended = np.asarray([f.ended for f in self.feeders])
+            self._active = ~ended
+            started = self._seqs >= 0
+            if started.all() and (fresh.any() or ended.all()):
+                if not fresh.any() and ended.all():
+                    return None  # every stream ended, nothing new
+                return FleetBatch(frames=self._frames,
+                                  seqs=self._seqs.copy(),
+                                  stale=~fresh, active=self._active.copy())
+            if ended.all() and not started.all():
+                return None  # some stream ended before its first frame
+            if time.time() > deadline:
+                return None
+            time.sleep(0.0005)
+
+    def _next_lossless(self, deadline: float) -> Optional[FleetBatch]:
+        fresh = np.zeros(len(self.feeders), bool)
+        for i, f in enumerate(self.feeders):
+            if not self._active[i]:
+                continue
+            frame, seq = f.next_frame(
+                latest=False, timeout=max(deadline - time.time(), 0.001))
+            if frame is None:
+                if f.ended:
+                    self._active[i] = False
+                    continue
+                return None  # transient stall past the deadline — not EOS
+
+            self._row_write(i, frame)
+            self._seqs[i] = seq
+            fresh[i] = True
+        if not fresh.any():
+            return None  # all streams ended (or timed out before frame 0)
+        if not (self._seqs >= 0).all():
+            return None  # a stream ended before its first frame
+        return FleetBatch(frames=self._frames, seqs=self._seqs.copy(),
+                          stale=~fresh, active=self._active.copy())
+
+    def next_batch(self, timeout: float = 5.0) -> Optional[FleetBatch]:
+        """Assemble the next lockstep batch, or None when the fleet ended.
+
+        The first batch blocks until EVERY stream has delivered a frame
+        (no uninitialized rows).  ``frames`` is a view of the persistent
+        batch buffer — consume (e.g. ``jax.device_put``) before the next
+        call.
+        """
+        deadline = time.time() + timeout
+        if self.lossless:
+            return self._next_lossless(deadline)
+        return self._next_live(deadline)
+
+    # -- observability / lifecycle ----------------------------------------
+
+    @property
+    def dropped(self) -> np.ndarray:
+        """Per-stream cumulative frames captured but never delivered."""
+        return np.asarray([f.dropped for f in self.feeders], np.int64)
+
+    @property
+    def ended(self) -> bool:
+        return all(f.ended for f in self.feeders)
+
+    def stop(self) -> None:
+        for f in self.feeders:
+            f.stop()
