@@ -28,6 +28,8 @@ CASES = [
     ("gaussian_explorer.py", []),
     ("locating_demo.py", ["--frames", "36"]),
     ("multistream_demo.py", ["--streams", "2", "--frames", "70"]),
+    ("multistream_demo.py", ["--streams", "2", "--frames", "70",
+                             "--feeder"]),
     ("signal_measurement_demo.py", []),
     ("temporal_analysis_demo.py", ["--frames", "64"]),
     ("wavelet_demo.py", ["--iterations", "2"]),
@@ -41,7 +43,8 @@ def test_all_examples_are_covered():
 
 
 @pytest.mark.parametrize("script,args", CASES,
-                         ids=[name for name, _ in CASES])
+                         ids=[name + ("[feeder]" if "--feeder" in a else "")
+                              for name, a in CASES])
 def test_example_runs(script, args):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
