@@ -1026,6 +1026,141 @@ def main_live(measure_frames: int = 256, capture_ms: float = 15.0):
     }))
 
 
+def main_fleet_live(streams: int = 16, measure_frames: int = 64,
+                    capture_ms: float = 15.0, height: int = 1080,
+                    width: int = 1920):
+    """Sustained PRODUCTION fleet loop (the multi-stream analog of
+    ``--live``): S synthetic u8 sources with simulated per-frame decode
+    cost -> FleetFeeder (per-stream C++ rings, live freshest-wins, one
+    assembled (S, H, W) u8 batch per tick) -> fused device_put ->
+    MultiStreamMonitor.step.  Reports sustained stream-frames/sec, batch
+    staleness rate, and per-stream drop totals.
+
+    ``--height/--width`` shrink the fixture for CPU smoke runs; the TPU
+    figure uses the default 1080p."""
+    import jax
+    import jax.numpy as jnp
+
+    from respmon_tpu.config import MonitorConfig
+    from respmon_tpu.io.synthetic import breathing_clip
+    from respmon_tpu.parallel import streams as fleet
+    from respmon_tpu.pipeline import evm, motion
+    from respmon_tpu.runtime.fleet_feeder import FleetFeeder
+
+    _warmup()
+    fps_video = 10.0
+    H, W = height, width
+    cfg = MonitorConfig(motion_extraction_method="flow")
+
+    log(f"1080p-class locate for the fleet ROI ({H}x{W})...")
+    cal = breathing_clip(num_frames=cfg.calibration.buffer_length, height=H,
+                         width=W, fps=fps_video, bpm=18.0,
+                         patch_center=(H // 2, W // 2),
+                         patch_size=(H // 6, W // 9), amplitude=0.12,
+                         motion_px=3.0)
+    cal_u8 = np.clip(np.round(cal * 255.0), 0, 255).astype(np.uint8)
+    del cal
+    loc = evm.locate(jnp.asarray(cal_u8), fps_video, cfg.calibration)
+    assert bool(loc.found)
+    x, y, w, h = int(loc.x), int(loc.y), int(loc.w), int(loc.h)
+    log(f"roi: {(x, y, w, h)}")
+
+    mon = fleet.MultiStreamMonitor(cfg, mesh=None, frame_hw=(H, W),
+                                   fps=fps_video)
+    boxes = np.tile(np.asarray([[x, y, w, h]], np.int32), (streams, 1))
+    spec = motion.MeasureSpec.for_roi(cfg, H, W, w, h, fps_video)
+    import dataclasses as _dc
+    mon.spec = _dc.replace(spec, lk_sample=fleet.fleet_lk_sample(
+        cfg, spec.crop_h, spec.crop_w, streams))
+    mon.states = fleet.init_stream_states(mon.spec, boxes)
+    log(f"crop bucket {mon.spec.crop_h}x{mon.spec.crop_w}, "
+        f"lk_sample={mon.spec.lk_sample}")
+
+    # Per-stream u8 source clips: the calibration frame translates ±1 px
+    # per frame (real tracking work), per-stream phase offsets.
+    t_total = min(measure_frames, 16)   # cycled; small host footprint
+    log(f"staging {streams} x {t_total} synthetic {H}x{W} u8 frames...")
+    base = cal_u8[-1]
+
+    def stream_frames(s):
+        out = np.empty((t_total, H, W), np.uint8)
+        for i in range(t_total):
+            out[i] = np.roll(base, (s + i) % 3 - 1, axis=1)
+        return out
+
+    class CyclingSlowSource:
+        """Loops a small frame set forever with simulated decode cost, so
+        the sources cannot exhaust while the fleet step compiles."""
+
+        def __init__(self, frames, delay_s):
+            self._frames, self._delay, self._i = frames, delay_s, 0
+            self.fps = fps_video
+            self.height, self.width = frames.shape[1:]
+
+        def next_frame(self):
+            f = self._frames[self._i % self._frames.shape[0]]
+            self._i += 1
+            if self._delay:
+                time.sleep(self._delay)
+            return f
+
+        def is_open(self):
+            return True
+
+        def release(self):
+            pass
+
+    # Compile BOTH fleet-step programs from staged batches BEFORE starting
+    # the feeder: compile takes minutes on a cold client, and the timing
+    # window must not start with a compile stall.
+    log("compiling fleet step (staged warmup batches)...")
+    warm0 = np.stack([np.roll(base, s % 3 - 1, axis=1)
+                      for s in range(streams)])
+    warm1 = np.stack([np.roll(base, (s + 1) % 3 - 1, axis=1)
+                      for s in range(streams)])
+    np.asarray(mon.step(jnp.asarray(warm0)).samples)   # init program
+    np.asarray(mon.step(jnp.asarray(warm1)).samples)   # steady-state
+
+    feeder = FleetFeeder(
+        [CyclingSlowSource(stream_frames(s), capture_ms * 1e-3)
+         for s in range(streams)],
+        capacity=4, lossless=False, dtype=np.uint8).start()
+
+    ticks = 0
+    stale_rows = 0
+    t0 = time.time()
+    last = None
+    for _ in range(measure_frames):
+        b = feeder.next_batch(timeout=30.0)
+        if b is None:
+            break
+        last = mon.step(jnp.asarray(b.frames)).samples
+        ticks += 1
+        stale_rows += int(b.stale.sum())
+    if last is not None:
+        np.asarray(last)
+    wall = time.time() - t0
+    feeder.stop()
+
+    sfps = ticks * streams / wall if wall > 0 else float("nan")
+    stale_rate = stale_rows / max(ticks * streams, 1)
+    dropped = feeder.dropped
+    log(f"fleet-live: {ticks} lockstep ticks in {wall:.2f}s -> "
+        f"{sfps:.0f} stream-frames/sec sustained; stale rate "
+        f"{stale_rate:.2%}; dropped/stream min={dropped.min()} "
+        f"max={dropped.max()}")
+    print(json.dumps({
+        "metric": f"fleet_live_{streams}x{H}p_sustained",
+        "value": round(sfps, 1),
+        "unit": "stream-frames/sec (feeder + u8 upload + fused step)",
+        "vs_baseline": round(sfps / REFERENCE_BEST_FPS, 1),
+        "ticks": ticks,
+        "stale_rate": round(stale_rate, 4),
+        "dropped_total": int(dropped.sum()),
+        "simulated_capture_ms": capture_ms,
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--multistream", action="store_true",
@@ -1037,13 +1172,26 @@ def main():
     p.add_argument("--live", action="store_true",
                    help="sustained live-path throughput through the "
                         "FrameFeeder (lossless), incl. uint8-upload mode")
+    p.add_argument("--fleet-live", action="store_true",
+                   help="sustained PRODUCTION fleet loop: FleetFeeder "
+                        "(u8 rings) -> fused upload -> lockstep step")
     p.add_argument("--frames", type=int, default=256,
-                   help="--live: number of measured frames")
+                   help="--live/--fleet-live: number of measured frames")
     p.add_argument("--capture-ms", type=float, default=15.0,
-                   help="--live: simulated per-frame decode cost")
+                   help="--live/--fleet-live: simulated per-frame decode "
+                        "cost")
+    p.add_argument("--height", type=int, default=1080,
+                   help="--fleet-live: frame height (shrink for CPU smoke)")
+    p.add_argument("--width", type=int, default=1920,
+                   help="--fleet-live: frame width")
     args = p.parse_args()
     if args.breakdown:
         main_fleet_breakdown(args.streams)
+    elif args.fleet_live:
+        main_fleet_live(streams=args.streams if args.streams != 64 else 16,
+                        measure_frames=args.frames,
+                        capture_ms=args.capture_ms, height=args.height,
+                        width=args.width)
     elif args.live:
         main_live(args.frames, args.capture_ms)
     elif args.multistream:
