@@ -149,6 +149,25 @@ class FleetFeeder:
             return self._next_lossless(deadline)
         return self._next_live(deadline)
 
+    def collect_buffer(self, t: int,
+                       timeout: float = 5.0) -> Optional[np.ndarray]:
+        """Stack ``t`` lockstep ticks into a (S, t, H, W) buffer — the
+        ingest for fleet (re)calibration (``MultiStreamMonitor.calibrate``
+        / ``recalibrate`` take exactly this shape, camera-native u8).
+
+        Lossless mode yields ``t`` consecutive frames per stream; live
+        mode the freshest frame at each of ``t`` ticks (stale rows repeat,
+        as in ``next_batch``).  Returns None if the fleet ends first.
+        """
+        out = np.empty((len(self.feeders), t) + self.frame_shape,
+                       self.dtype)
+        for k in range(t):
+            b = self.next_batch(timeout=timeout)
+            if b is None:
+                return None
+            out[:, k] = b.frames
+        return out
+
     # -- observability / lifecycle ----------------------------------------
 
     @property

@@ -143,3 +143,32 @@ def test_live_batch_feeds_fleet_monitor_step():
     assert steps == 8
     assert np.asarray(res.samples).shape == (S,)
     assert np.isfinite(np.asarray(res.samples)).all()
+
+
+def test_collect_buffer_feeds_fleet_calibration():
+    # (S, T, H, W) calibration ingest straight from the feeder: lossless
+    # collection reproduces the exact leading frames, and the buffer is
+    # what MultiStreamMonitor.calibrate consumes (camera-native u8).
+    from respmon_tpu.config import CalibrationConfig, MonitorConfig
+    from respmon_tpu.io.synthetic import breathing_clip
+    from respmon_tpu.parallel import streams as streams_mod
+
+    cfg = MonitorConfig(calibration=CalibrationConfig(
+        buffer_length=16, pyramid_levels=3, skip_levels_at_top=1))
+    clips = np.stack([
+        breathing_clip(num_frames=20, height=H, width=W, fps=10.0, bpm=20.0,
+                       patch_center=(12, 16), patch_size=(8, 10),
+                       amplitude=0.25, seed=s)
+        for s in range(S)])
+    u8 = np.clip(np.round(clips * 255.0), 0, 255).astype(np.uint8)
+
+    fleet = FleetFeeder([ArrayCapture(c, fps=10.0) for c in u8],
+                        capacity=4, lossless=True, dtype=np.uint8).start()
+    buf = fleet.collect_buffer(16, timeout=10.0)
+    fleet.stop()
+    assert buf is not None and buf.shape == (S, 16, H, W)
+    np.testing.assert_array_equal(buf, u8[:, :16])
+
+    mon = streams_mod.MultiStreamMonitor(cfg, None, (H, W), 10.0)
+    loc = mon.calibrate(buf)
+    assert np.asarray(loc.found).all()
