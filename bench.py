@@ -197,6 +197,8 @@ def main_headline():
     cal_u8_v = _u8_variants(cal_u8, iters + 2, (cy, cx))
     rest_u8_v = _u8_variants(rest_u8, iters + 2, (cy, cx))
 
+    upload_ingest = "uint8"
+
     def run_cal_up(i):
         dev = jax.device_put(cal_u8_v[i])
         return evm.locate(dev, fps_video, cfg.calibration).heatmap_u8
@@ -206,8 +208,28 @@ def main_headline():
         return scan.measure_clip(dev, roi, spec, coeffs, 10,
                                  cfg.measure).samples
 
-    np.asarray(run_cal_up(iters))   # reshard/transfer compile, excluded
-    np.asarray(run_meas_up(iters))  # rest-shaped transfer compile likewise
+    try:
+        np.asarray(run_cal_up(iters))   # reshard/transfer compile, excluded
+        np.asarray(run_meas_up(iters))  # rest-shaped transfer compile too
+    except Exception as e:
+        # The headline must never sink on the u8 ingest path — fall back to
+        # the f32 upload convention and say so in the JSON.
+        log(f"u8 upload path failed ({e!r}); falling back to f32 uploads")
+        upload_ingest = "float32"
+        cal_f_v = [cal_np + np.float32(i * 1e-6) for i in range(iters + 2)]
+        rest_f_v = [rest_np + np.float32(i * 1e-6) for i in range(iters + 2)]
+
+        def run_cal_up(i):  # noqa: F811 — deliberate fallback rebind
+            dev = jax.device_put(cal_f_v[i])
+            return evm.locate(dev, fps_video, cfg.calibration).heatmap_u8
+
+        def run_meas_up(i):  # noqa: F811
+            dev = jax.device_put(rest_f_v[i])
+            return scan.measure_clip(dev, roi, spec, coeffs, 10,
+                                     cfg.measure).samples
+
+        np.asarray(run_cal_up(iters))
+        np.asarray(run_meas_up(iters))
     up_probe0 = time.time()
     np.asarray(run_cal_up(iters + 1))
     up_probe = time.time() - up_probe0
@@ -236,7 +258,7 @@ def main_headline():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps_chip / REFERENCE_BEST_FPS, 1),
         "value_with_upload": round(fps_chip_up, 1),
-        "upload_ingest": "uint8",
+        "upload_ingest": upload_ingest,
         "u8_widen_exact_on_device": u8_widen_exact,
     }
     if bpm_tail_median is not None:
@@ -259,7 +281,11 @@ def _check_u8_widen():
 
     b = np.arange(256, dtype=np.uint8)
     want = (b.astype(np.float64) * (1.0 / 255.0)).astype(np.float32)
-    got = np.asarray(jax.jit(uint8_to_float)(jnp.asarray(b)))
+    try:
+        got = np.asarray(jax.jit(uint8_to_float)(jnp.asarray(b)))
+    except Exception as e:  # never sink a bench on the parity probe
+        log(f"device u8 widen check unavailable: {e!r}")
+        return None
     ok = bool(np.array_equal(got.view(np.uint32), want.view(np.uint32)))
     log(f"device u8 widen bit-parity vs host chain: "
         f"{'EXACT (256/256)' if ok else 'MISMATCH'}")

@@ -9,23 +9,36 @@ We reproduce the wrap semantics explicitly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 
 def uint8_to_float(img: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """uint8 [0,255] -> float [0,1] (reference transforms.py:20-23).
+    """uint8 [0,255] -> float [0,1] (reference transforms.py:20-23),
+    bit-exact to the host reference chain on every byte.
 
-    The reference computes ``img * (1./255)`` under numpy promotion, i.e. a
-    float64 multiply.  For float32 output the bit-exact image of that chain
-    is f32 DIVISION by 255 (exhaustively equal over all 256 bytes to
-    ``f32(f64(b) * (1/255))``), while a direct f32 multiply by the f32
-    reciprocal is 1 ULP off on 70 of the 256 byte values — so the f32 path
-    divides.  float64 output reproduces the reference's multiply verbatim.
+    The reference computes ``img * (1./255)`` under numpy promotion (a
+    float64 multiply); the host capture path casts that to f32.  For f32
+    output the bit-exact image of that chain is the correctly-rounded
+    quotient b/255 — but neither a plain f32 reciprocal multiply (1 ULP
+    off on 126 of the 256 bytes) nor a literal ``x / 255.0`` (XLA's
+    algebraic simplifier rewrites constant division into exactly that
+    reciprocal multiply under jit) computes it.  Instead: one
+    Newton/Markstein correction of the reciprocal multiply,
+    ``q + (x - q*255) * r``, exhaustively correctly-rounded in plain f32,
+    with ``q`` behind ``lax.optimization_barrier`` so the simplifier
+    cannot collapse ``q*255`` back to ``x`` (which zeroes the residual
+    and silently degrades to the multiply — caught by bench.py's
+    on-device ``_check_u8_widen``).  float64 output reproduces the
+    reference multiply verbatim.
     """
     if jnp.dtype(dtype) == jnp.float64:
         return img.astype(jnp.float64) * (1.0 / 255.0)
-    return img.astype(dtype) / jnp.asarray(255.0, dtype)
+    x = img.astype(dtype)
+    r = jnp.asarray(1.0 / 255.0, dtype)
+    q = jax.lax.optimization_barrier(x * r)
+    return q + (x - q * jnp.asarray(255.0, dtype)) * r
 
 
 def ingest_frames(frames, dtype) -> jnp.ndarray:

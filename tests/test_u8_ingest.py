@@ -52,11 +52,19 @@ def clips():
 
 
 def test_uint8_to_float_f32_bit_equals_reference_chain():
+    import jax
+
     b = np.arange(256, dtype=np.uint8)
     want = (b.astype(np.float64) * (1.0 / 255.0)).astype(np.float32)
-    got = np.asarray(uint8_to_float(jnp.asarray(b), jnp.float32))
-    assert got.dtype == np.float32
-    assert np.array_equal(got.view(np.uint32), want.view(np.uint32))
+    # BOTH eager and JITTED must match: XLA's algebraic simplifier rewrites
+    # naive formulations under jit (x/255 -> x*(1/255); it even collapses
+    # an unprotected Newton correction), so eager-only equality is a trap —
+    # every production path is jitted.
+    for tag, fn in (("eager", uint8_to_float),
+                    ("jit", jax.jit(uint8_to_float, static_argnums=1))):
+        got = np.asarray(fn(jnp.asarray(b), jnp.float32))
+        assert got.dtype == np.float32, tag
+        assert np.array_equal(got.view(np.uint32), want.view(np.uint32)), tag
     # f64 output reproduces the reference multiply verbatim.
     want64 = b.astype(np.float64) * (1.0 / 255.0)
     got64 = np.asarray(uint8_to_float(jnp.asarray(b), jnp.float64))
