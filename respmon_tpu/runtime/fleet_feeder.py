@@ -38,8 +38,9 @@ from respmon_tpu.runtime.feeder import FrameFeeder
 
 
 class FleetBatch(NamedTuple):
-    frames: np.ndarray   # (S, H, W) — VIEW of the feeder's persistent
-    #                      batch buffer, valid until the next next_batch()
+    frames: np.ndarray   # (S, H, W) — independent snapshot by default;
+    #                      with next_batch(copy=False), a view of the
+    #                      persistent buffer valid until the next call
     seqs: np.ndarray     # (S,) int64 per-stream sequence of the row
     stale: np.ndarray    # (S,) bool — row repeats the previous frame
     active: np.ndarray   # (S,) bool — stream has not ended
@@ -69,6 +70,9 @@ class FleetFeeder:
         self._scratch_seqs = np.empty(s_count, np.int64)
         self._seqs = np.full(s_count, -1, np.int64)
         self._active = np.ones(s_count, bool)
+        # Streams already holding THIS tick's frame (persists across a
+        # TimeoutError retry; cleared when a batch is returned).
+        self._tick_fresh = np.zeros(s_count, bool)
         if self._nbytes == n_floats * 4:
             # Frame bytes fill the f32 slots exactly -> zero-copy batch view.
             self._frames = self._buf.view(self.dtype).reshape(
@@ -89,34 +93,46 @@ class FleetFeeder:
             .reshape(-1)
         self._buf[i].view(np.uint8)[:raw.size] = raw
 
-    def _next_live(self, deadline: float) -> Optional[FleetBatch]:
-        # ``fresh`` accumulates across wait iterations within this call:
-        # a row is stale only if nothing new arrived since the LAST batch.
-        fresh = np.zeros(len(self.feeders), bool)
+    def _finish_tick(self, copy: bool) -> FleetBatch:
+        fresh = self._tick_fresh
+        self._tick_fresh = np.zeros(len(self.feeders), bool)
+        return FleetBatch(frames=self._frames.copy() if copy
+                          else self._frames, seqs=self._seqs.copy(),
+                          stale=~fresh, active=self._active.copy())
+
+    def _next_live(self, deadline: float, copy: bool) -> Optional[FleetBatch]:
+        # ``self._tick_fresh`` accumulates until a batch is RETURNED (it
+        # survives a TimeoutError retry): a row is stale only if nothing
+        # new arrived since the last delivered batch.
         while True:
             collect_latest(self._rings, self._buf, self._scratch_seqs)
             got = self._scratch_seqs >= 0
             np.copyto(self._seqs, self._scratch_seqs, where=got)
-            fresh |= got
+            self._tick_fresh |= got
             ended = np.asarray([f.ended for f in self.feeders])
             self._active = ~ended
             started = self._seqs >= 0
-            if started.all() and (fresh.any() or ended.all()):
-                if not fresh.any() and ended.all():
+            if started.all() and (self._tick_fresh.any() or ended.all()):
+                if not self._tick_fresh.any() and ended.all():
                     return None  # every stream ended, nothing new
-                return FleetBatch(frames=self._frames,
-                                  seqs=self._seqs.copy(),
-                                  stale=~fresh, active=self._active.copy())
+                return self._finish_tick(copy)
             if ended.all() and not started.all():
                 return None  # some stream ended before its first frame
             if time.time() > deadline:
-                return None
+                raise TimeoutError(
+                    "fleet live tick stalled past the deadline (frames "
+                    "already collected stay pending; retry continues the "
+                    "same tick)")
             time.sleep(0.0005)
 
-    def _next_lossless(self, deadline: float) -> Optional[FleetBatch]:
-        fresh = np.zeros(len(self.feeders), bool)
+    def _next_lossless(self, deadline: float,
+                       copy: bool) -> Optional[FleetBatch]:
+        # ``self._tick_fresh[i]`` marks streams whose FIFO frame for THIS
+        # tick is already in the buffer — a TimeoutError retry resumes the
+        # same tick without re-popping them (no skipped frames, no mixed
+        # ticks).
         for i, f in enumerate(self.feeders):
-            if not self._active[i]:
+            if not self._active[i] or self._tick_fresh[i]:
                 continue
             frame, seq = f.next_frame(
                 latest=False, timeout=max(deadline - time.time(), 0.001))
@@ -124,30 +140,39 @@ class FleetFeeder:
                 if f.ended:
                     self._active[i] = False
                     continue
-                return None  # transient stall past the deadline — not EOS
-
+                raise TimeoutError(
+                    f"fleet lossless tick stalled on stream {i} (frames "
+                    "already collected stay pending; retry continues the "
+                    "same tick)")
             self._row_write(i, frame)
             self._seqs[i] = seq
-            fresh[i] = True
-        if not fresh.any():
-            return None  # all streams ended (or timed out before frame 0)
+            self._tick_fresh[i] = True
+        if not self._tick_fresh.any():
+            return None  # all streams ended
         if not (self._seqs >= 0).all():
             return None  # a stream ended before its first frame
-        return FleetBatch(frames=self._frames, seqs=self._seqs.copy(),
-                          stale=~fresh, active=self._active.copy())
+        return self._finish_tick(copy)
 
-    def next_batch(self, timeout: float = 5.0) -> Optional[FleetBatch]:
-        """Assemble the next lockstep batch, or None when the fleet ended.
+    def next_batch(self, timeout: float = 5.0,
+                   copy: bool = True) -> Optional[FleetBatch]:
+        """Assemble the next lockstep batch; None means the fleet ENDED
+        (a stall past ``timeout`` raises TimeoutError instead, and a retry
+        resumes the same tick — no frames are lost or mixed across ticks).
 
         The first batch blocks until EVERY stream has delivered a frame
-        (no uninitialized rows).  ``frames`` is a view of the persistent
-        batch buffer — consume (e.g. ``jax.device_put``) before the next
-        call.
+        (no uninitialized rows).  ``copy=True`` (default) returns an
+        independent snapshot.  ``copy=False`` returns a VIEW of the
+        persistent batch buffer — zero-copy, but the next ``next_batch``
+        call overwrites it, and ``jnp.asarray``/``device_put`` on a CPU
+        backend may alias the host buffer while the step still reads it:
+        only pass ``copy=False`` when the consumer fully reads the batch
+        (e.g. an explicit host copy or a synchronous device transfer)
+        before the next call.
         """
         deadline = time.time() + timeout
         if self.lossless:
-            return self._next_lossless(deadline)
-        return self._next_live(deadline)
+            return self._next_lossless(deadline, copy)
+        return self._next_live(deadline, copy)
 
     def collect_buffer(self, t: int,
                        timeout: float = 5.0) -> Optional[np.ndarray]:
@@ -162,7 +187,9 @@ class FleetFeeder:
         out = np.empty((len(self.feeders), t) + self.frame_shape,
                        self.dtype)
         for k in range(t):
-            b = self.next_batch(timeout=timeout)
+            # copy=False is safe: out[:, k] fully reads the row before the
+            # next call overwrites the shared buffer.
+            b = self.next_batch(timeout=timeout, copy=False)
             if b is None:
                 return None
             out[:, k] = b.frames

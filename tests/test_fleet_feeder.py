@@ -172,3 +172,53 @@ def test_collect_buffer_feeds_fleet_calibration():
     mon = streams_mod.MultiStreamMonitor(cfg, None, (H, W), 10.0)
     loc = mon.calibrate(buf)
     assert np.asarray(loc.found).all()
+
+
+def test_lossless_stall_raises_and_retry_resumes_tick():
+    # A transient stall past the deadline raises TimeoutError (NOT the
+    # None end-of-fleet signal), and a retry resumes the SAME tick: frames
+    # popped from faster streams before the stall stay pending, so no
+    # frame is skipped and no batch mixes ticks.
+    class StallSource:
+        def __init__(self, frames, stall_at, stall_s):
+            self._f, self._i = frames, 0
+            self._at, self._s = stall_at, stall_s
+            self.fps, self.height, self.width = 10.0, H, W
+
+        def next_frame(self):
+            if self._i >= len(self._f):
+                return None
+            if self._i == self._at:
+                time.sleep(self._s)
+            f = self._f[self._i]
+            self._i += 1
+            return f
+
+        def is_open(self):
+            return True
+
+        def release(self):
+            pass
+
+    base = np.arange(H * W, dtype=np.uint8).reshape(H, W)
+    clips = [base[None] + np.arange(5, dtype=np.uint8)[:, None, None] * 10
+             + s for s in range(2)]
+    fleet = FleetFeeder([StallSource(clips[0], 99, 0),
+                         StallSource(clips[1], 2, 0.5)],
+                        capacity=2, lossless=True, dtype=np.uint8).start()
+    got, timeouts = [], 0
+    while True:
+        try:
+            b = fleet.next_batch(timeout=0.15)
+        except TimeoutError:
+            timeouts += 1
+            continue
+        if b is None:
+            break
+        got.append(b.frames.copy())
+    fleet.stop()
+    assert timeouts >= 1
+    assert len(got) == 5
+    for i, fr in enumerate(got):
+        np.testing.assert_array_equal(fr[0], clips[0][i])
+        np.testing.assert_array_equal(fr[1], clips[1][i])
