@@ -48,7 +48,9 @@ def test_lossless_lockstep_replays_every_frame(backend, monkeypatch):
             break
         assert b.frames.shape == (S, H, W) and b.frames.dtype == np.uint8
         assert b.stale.sum() == 0 and b.active.all()
-        got.append(b.frames.copy())
+        # no .copy(): default batches are independent snapshots — later
+        # ticks must not mutate earlier ones.
+        got.append(b.frames)
     fleet.stop()
     assert len(got) == T
     for i, frames in enumerate(got):
