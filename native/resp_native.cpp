@@ -28,25 +28,37 @@ extern "C" {
 // Color conversion
 // ---------------------------------------------------------------------------
 
+// Byte -> [0,1] float on the CANONICAL conversion chain (reference
+// transforms.py:20-23 under numpy promotion: f64 multiply, then the
+// monitor's f32 cast — io/capture.py:52-53).  A plain f32 reciprocal
+// multiply is 1 ULP off on 126 of the 256 bytes; the 256-entry LUT holds
+// the exactly-converted values and is L1-resident.
+struct U8ToUnitLut {
+    float v[256];
+    U8ToUnitLut() {
+        for (int i = 0; i < 256; ++i)
+            v[i] = static_cast<float>(static_cast<double>(i) * (1.0 / 255.0));
+    }
+};
+static const U8ToUnitLut kU8Unit;
+
 // cv2.cvtColor BGR2GRAY uses fixed-point BT.601 at shift 15 (coefficients
 // sum to 1<<15; verified exhaustively over all 2^24 BGR values against the
 // deployed cv2 build):
 //   y = (9798*R + 19235*G + 3735*B + (1<<14)) >> 15
 void bgr_u8_to_gray_f32(const uint8_t* bgr, float* out, int64_t n_pixels) {
-    const float inv255 = 1.0f / 255.0f;
     for (int64_t i = 0; i < n_pixels; ++i) {
         const uint32_t b = bgr[3 * i + 0];
         const uint32_t g = bgr[3 * i + 1];
         const uint32_t r = bgr[3 * i + 2];
         const uint32_t y = (9798u * r + 19235u * g + 3735u * b + 16384u) >> 15;
-        out[i] = static_cast<float>(y) * inv255;
+        out[i] = kU8Unit.v[y];
     }
 }
 
 void gray_u8_to_f32(const uint8_t* gray, float* out, int64_t n_pixels) {
-    const float inv255 = 1.0f / 255.0f;
     for (int64_t i = 0; i < n_pixels; ++i) {
-        out[i] = static_cast<float>(gray[i]) * inv255;
+        out[i] = kU8Unit.v[gray[i]];
     }
 }
 

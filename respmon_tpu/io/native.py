@@ -89,7 +89,9 @@ def bgr_to_gray_f32(bgr: np.ndarray) -> np.ndarray:
     g = bgr[..., 1].astype(np.uint32)
     r = bgr[..., 2].astype(np.uint32)
     y = (9798 * r + 19235 * g + 3735 * b + (1 << 14)) >> 15
-    return (y.astype(np.float32) / 255.0)
+    # Canonical chain (io/capture.py:52-53): f64 multiply then f32 cast —
+    # matches the native LUT bit-for-bit on every byte.
+    return (y.astype(np.float64) * (1.0 / 255.0)).astype(np.float32)
 
 
 class FrameRing:

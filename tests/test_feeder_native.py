@@ -25,10 +25,11 @@ def test_bgr_to_gray_matches_cv2():
     rng = np.random.default_rng(0)
     bgr = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
     got = bgr_to_gray_f32(bgr)
-    # Bit-exact: the native path uses cv2's shift-15 fixed-point formula,
-    # then scales by the same *(1/255) the rest of the ingest path uses.
+    # Bit-exact: cv2's shift-15 fixed-point formula, then the CANONICAL
+    # byte->[0,1] chain (f64 multiply, f32 cast — io/capture.py:52-53,
+    # the same values uint8_to_float produces on device).
     gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
-    want = gray.astype(np.float32) * np.float32(1.0 / 255.0)
+    want = (gray.astype(np.float64) * (1.0 / 255.0)).astype(np.float32)
     np.testing.assert_array_equal(got, want)
 
 
