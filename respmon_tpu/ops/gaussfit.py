@@ -161,13 +161,15 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
             return jnp.sqrt(jnp.sum((D * solve(lam)) ** 2))
 
         def bisect_stage(lo, hi, k):
-            pts = jnp.stack([lo, hi])
-            for _ in range(k):            # sqrt-midpoint interleave
-                mids = jnp.sqrt(pts[:-1] * pts[1:])
-                pts = jnp.reshape(
-                    jnp.concatenate([pts[:-1, None], mids[:, None]],
-                                    axis=1), (-1,))
-                pts = jnp.concatenate([pts, hi[None]])
+            # Geometric k-level refinement grid over [lo, hi]: pts[j] =
+            # lo^(1-j/2^k) * hi^(j/2^k) — the same candidate set the
+            # sequential sqrt-midpoint bisect can visit (equal up to ULPs),
+            # built with one vectorized exp/log.  (A literal construction
+            # via k stride-2 concatenate+reshape interleave levels measured
+            # ~5x the whole fleet step's budget: lane-axis interleaves
+            # lower terribly on TPU — see CLAUDE.md / ops/ccl.py.)
+            frac = jnp.linspace(0.0, 1.0, 2 ** k + 1).astype(dtype)
+            pts = jnp.exp((1.0 - frac) * jnp.log(lo) + frac * jnp.log(hi))
             go_up = jax.vmap(norm_at)(pts) > Delta   # lo <- mid when True
             i_lo, i_hi = jnp.asarray(0), jnp.asarray(2 ** k)
             for _ in range(k):            # index replay of the bisect
@@ -226,8 +228,18 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
         done_new = done | ftol_hit | xtol_hit
         return (it + 1, p_acc, F_acc, D, Delta_new, done_new)
 
-    init = (jnp.asarray(0, jnp.int32), p0, F0, D0, Delta0,
-            jnp.asarray(False))
+    # Lanes that can never produce a converged fit start DONE: fully-masked
+    # or under-determined windows (nvalid < 3 — the curve_fit TypeError
+    # analog) and non-finite initial cost (empty windows: ymax = -inf).
+    # Such lanes never pass the accept/ftol/xtol tests, so running them
+    # leaves (p, F) at (p0, F0) — exactly what done-at-init returns — but
+    # under vmap the while_loop runs to the SLOWEST lane, and a fleet
+    # batch is mostly empty candidate slots (streams x max_peaks lanes,
+    # few real candidates): without this, every fleet step paid the full
+    # 200-iteration budget on behalf of its empty slots (measured 215 ms
+    # of a 253 ms 64x1080p step).
+    done0 = (nvalid < 3) | ~jnp.isfinite(F0)
+    init = (jnp.asarray(0, jnp.int32), p0, F0, D0, Delta0, done0)
     # while_loop (not a fixed scan) so a vmapped batch stops as soon as all
     # lanes converge — the common case is <40 iterations, not the full
     # budget, which matters inside the whole-clip scan fast path.
