@@ -36,9 +36,10 @@ import jax.numpy as jnp
 _HI = jax.lax.Precision.HIGHEST
 
 # Stage depths for the parallel-in-lambda trust-region bisect (see
-# gaussian_fit_single): each stage batch-solves a 2^k+1-point sqrt-midpoint
-# grid and replays k bisect levels as index arithmetic.  (8, 8, 8) covers
-# the default 24 levels in 3 batched solves instead of 24 chained ones.
+# gaussian_fit_single): each stage batch-solves a 2^k+1-point geometric
+# (exp/log) grid — ULP-equivalent to the sequential sqrt-midpoint chain —
+# and replays k bisect levels as index arithmetic.  (8, 8, 8) covers the
+# default 24 levels in 3 batched solves instead of 24 chained ones.
 _BISECT_STAGES = (8, 8, 8)
 
 
@@ -147,16 +148,18 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
         inside = gn_norm <= Delta
 
         # Bisect the LM parameter in log space until ||D delta|| ~= Delta.
-        # BIT-IDENTICAL parallel formulation of the sequential geometric
-        # bisect (mid = sqrt(lo*hi); lo = mid if ||D solve(mid)|| > Delta):
-        # every midpoint a k-level bisect can visit lies on the k-level
-        # sqrt-interleaved grid over [lo, hi], so each stage materializes
-        # that grid (the same sqrt expressions the scalar loop would
-        # evaluate), batch-solves ALL candidate lambdas in one vmapped
-        # 3x3 solve, and replays the bisect as pure index arithmetic over
-        # the predicate array.  Sequential depth drops from
-        # ``bisect_iters`` chained solves to ``len(stages)`` batched ones
-        # — the LM fit is latency-bound, not FLOP-bound, on TPU.
+        # Parallel formulation of the sequential geometric bisect
+        # (mid = sqrt(lo*hi); lo = mid if ||D solve(mid)|| > Delta),
+        # equivalent up to ULPs: every midpoint a k-level bisect can visit
+        # lies on the k-level geometric grid over [lo, hi], so each stage
+        # materializes that grid via one vectorized exp/log (NOT the
+        # scalar loop's literal sqrt chain — the visited lambdas agree
+        # only to rounding, so do not rely on bit-reproducibility of the
+        # old scalar bisect), batch-solves ALL candidate lambdas in one
+        # vmapped 3x3 solve, and replays the bisect as pure index
+        # arithmetic over the predicate array.  Sequential depth drops
+        # from ``bisect_iters`` chained solves to ``len(stages)`` batched
+        # ones — the LM fit is latency-bound, not FLOP-bound, on TPU.
         def norm_at(lam):
             return jnp.sqrt(jnp.sum((D * solve(lam)) ** 2))
 
@@ -231,13 +234,21 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
     # Lanes that can never produce a converged fit start DONE: fully-masked
     # or under-determined windows (nvalid < 3 — the curve_fit TypeError
     # analog) and non-finite initial cost (empty windows: ymax = -inf).
-    # Such lanes never pass the accept/ftol/xtol tests, so running them
-    # leaves (p, F) at (p0, F0) — exactly what done-at-init returns — but
-    # under vmap the while_loop runs to the SLOWEST lane, and a fleet
-    # batch is mostly empty candidate slots (streams x max_peaks lanes,
-    # few real candidates): without this, every fleet step paid the full
-    # 200-iteration budget on behalf of its empty slots (measured 215 ms
-    # of a 253 ms 64x1080p step).
+    # Contract: params/cost of NON-CONVERGED lanes are unspecified (for
+    # done-at-init lanes they are (p0, F0); 1-2-point windows running the
+    # loop would instead return regularized-LM-accepted steps) — callers
+    # must gate every output on ``converged``, as pipeline/bpm.py does;
+    # ``converged`` itself stays False here via the nvalid >= 3 gate.
+    # Done-at-init matters because under vmap the while_loop runs to the
+    # SLOWEST lane, and a fleet batch is mostly empty candidate slots
+    # (streams x max_peaks lanes, few real candidates): without this,
+    # every fleet step paid the full 200-iteration budget on behalf of
+    # its empty slots (measured 215 ms of a 253 ms 64x1080p step).
+    # The ~isfinite(F0) arm assumes a non-degenerate window's f32 initial
+    # cost is finite (true at filtered-signal magnitudes — overflow needs
+    # residuals ~1e19); a lane tripping it is permanently converged=False
+    # even if its gradient were finite, foreclosing a recovery path that
+    # is unreachable in practice.
     done0 = (nvalid < 3) | ~jnp.isfinite(F0)
     init = (jnp.asarray(0, jnp.int32), p0, F0, D0, Delta0, done0)
     # while_loop (not a fixed scan) so a vmapped batch stops as soon as all

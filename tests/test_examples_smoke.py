@@ -27,6 +27,7 @@ CASES = [
     ("flow_demo.py", ["--frames", "90"]),
     ("gaussian_explorer.py", []),
     ("locating_demo.py", ["--frames", "36"]),
+    ("multiaxis_demo.py", ["--samples", "60"]),
     ("multistream_demo.py", ["--streams", "2", "--frames", "70"]),
     ("multistream_demo.py", ["--streams", "2", "--frames", "70",
                              "--feeder"]),
