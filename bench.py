@@ -59,7 +59,7 @@ def _timed(fn, iters):
     return (time.time() - t0) / iters
 
 
-def main_headline():
+def main_headline(include_fleet: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -76,6 +76,7 @@ def main_headline():
     _ = float(jnp.asarray(1.0) + 1.0)
     log(f"transfer warmup: {time.time()-t0:.1f}s")
     u8_widen_exact = _check_u8_widen()
+    gf_parity = _check_gaussfit_parity()
 
     fps_video = 10.0
     cfg = MonitorConfig(motion_extraction_method="flow")
@@ -266,11 +267,26 @@ def main_headline():
         "upload_ingest": upload_ingest,
         "u8_widen_exact_on_device": u8_widen_exact,
     }
+    if gf_parity is not None:
+        ar, an, nr, nn = gf_parity
+        out["gaussfit_device_agreement_realistic"] = round(ar, 4)
+        out["gaussfit_device_agreement_noise"] = round(an, 4)
     if bpm_tail_median is not None:
         out["bpm_tail_median"] = round(bpm_tail_median, 3)
         out["bpm_true"] = 18.0
     if bpm_oracle_delta is not None:
         out["bpm_oracle_delta"] = round(bpm_oracle_delta, 4)
+
+    # Free the headline's staged buffers, then append the compact fleet
+    # metric (VERDICT r3 #2) — never sink the headline on it.
+    if include_fleet:
+        del cal_v, rest_v, cal, rest
+        try:
+            fl = _fleet_segment()
+            if fl:
+                out.update(fl)
+        except Exception as e:  # pragma: no cover
+            log(f"fleet segment failed: {e!r}")
     print(json.dumps(out))
 
 
@@ -299,6 +315,167 @@ def _check_u8_widen():
         log(f"  differing bytes: {bad[:12].tolist()} "
             f"({bad.size}/256 total)")
     return ok
+
+
+def _fleet_segment(streams: int = 16, H: int = 720, W: int = 1280,
+                   box=(560, 300, 160, 130), fps_video: float = 10.0):
+    """Compact fleet metric for the DEFAULT bench JSON (VERDICT r3 #2: the
+    64x1080p fleet numbers existed only builder-reported; this puts a
+    bounded-compile lockstep fleet step into the driver-captured artifact).
+
+    16 streams x 720p, fixed per-stream ROIs (no locate — the throughput
+    of the lockstep measure step does not depend on how the box was
+    found), device-resident u8 frames with real ±1 px inter-frame shifts,
+    FULL 128-sample signal rings (honest BPM/LM load per the round-3
+    finding), pipelined dispatch with a deferred fetch — the same
+    methodology as ``--multistream``.  Returns the JSON keys or None."""
+    import jax
+    import jax.numpy as jnp
+
+    from respmon_tpu.config import MonitorConfig
+    from respmon_tpu.parallel import streams as fleet
+    from respmon_tpu.pipeline import motion
+
+    cfg = MonitorConfig(motion_extraction_method="flow")
+    x, y, w, h = box
+    mon = fleet.MultiStreamMonitor(cfg, mesh=None, frame_hw=(H, W),
+                                   fps=fps_video)
+    boxes = np.tile(np.asarray([[x, y, w, h]], np.int32), (streams, 1))
+    spec = motion.MeasureSpec.for_roi(cfg, H, W, w, h, fps_video)
+    import dataclasses as _dc
+    mon.spec = _dc.replace(spec, lk_sample=fleet.fleet_lk_sample(
+        cfg, spec.crop_h, spec.crop_w, streams))
+    mon.states = fleet.init_stream_states(mon.spec, boxes)
+    log(f"fleet segment: {streams}x{H}p, crop bucket "
+        f"{mon.spec.crop_h}x{mon.spec.crop_w}, "
+        f"lk_sample={mon.spec.lk_sample}")
+
+    rng = np.random.default_rng(0)
+    frames_np = np.trunc(
+        (rng.random((streams, H, W), np.float32) * 0.2 + 0.4) * 255.0
+    ).astype(np.uint8)
+    frames_v = [jnp.asarray(np.roll(frames_np, s, axis=2))
+                for s in (0, 1, 2)]
+    np.asarray(frames_v[-1][0, 0, :4])
+
+    log("compiling fleet step (init + steady-state)...")
+    t0 = time.time()
+    np.asarray(mon.step(frames_v[0]).samples)
+    np.asarray(mon.step(frames_v[1]).samples)
+    log(f"fleet step compile+first runs: {time.time()-t0:.1f}s")
+
+    def run_step(i):
+        return mon.step(frames_v[i % 3]).samples
+
+    for i in range(3):
+        np.asarray(run_step(i))
+    n_ring = cfg.measure.buffer_length
+    t_axis = np.arange(n_ring, dtype=np.float32) / fps_video
+    phases = rng.uniform(0, 2 * np.pi, streams).astype(np.float32)
+    ring = 0.15 * np.sin(2 * np.pi * 0.3 * t_axis[None, :]
+                         + phases[:, None]) \
+        + 0.01 * rng.standard_normal((streams, n_ring)).astype(np.float32)
+    mon.states = mon.states._replace(
+        data=jnp.asarray(ring, jnp.float32),
+        t=jnp.broadcast_to(jnp.asarray(t_axis), (streams, n_ring)),
+        count=jnp.full((streams,), n_ring, jnp.int32),
+        motion_count=jnp.full((streams,), n_ring, jnp.int32))
+    np.asarray(run_step(0))
+    t_step = _timed(run_step, 8)
+    sfps = streams / t_step
+    margin = (1.0 / fps_video) / t_step
+    log(f"fleet segment: {t_step*1e3:.1f} ms/step -> {sfps:.0f} "
+        f"stream-frames/sec/chip, {margin:.1f}x margin at 10 fps")
+    return {
+        "fleet_streams": streams,
+        "fleet_geometry": f"{H}x{W}",
+        "fleet_step_ms": round(t_step * 1e3, 2),
+        "fleet_sfps": round(sfps, 1),
+        "fleet_realtime_margin_at_10fps": round(margin, 2),
+    }
+
+
+def _check_gaussfit_parity(n_windows: int = 120):
+    """Accept/reject agreement of the DEVICE LM gaussian fit vs the scipy
+    curve_fit oracle at bench geometry (VERDICT r3 #5: the CPU f64 suite
+    provably cannot catch f32/TPU-path decision flips — round 3's bf16
+    precision flip was TPU-only-visible).  Windows mirror the reference
+    call site (base.py:319-337): ~2 s at fps 10 around a candidate peak.
+
+    Returns (agreement_realistic, agreement_noise, n_real, n_noise) or None
+    if the oracle is unavailable.  Pure-noise windows are reported
+    separately: their decisions are near-arbitrary (tiny numeric
+    differences legitimately flip scipy itself) and are excluded from the
+    realistic envelope, matching tests/test_gaussfit.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from respmon_tpu.ops import gaussfit
+
+    try:
+        from scipy.optimize import curve_fit
+    except Exception as e:  # pragma: no cover
+        log(f"gaussfit device check unavailable (scipy): {e!r}")
+        return None
+
+    rng = np.random.default_rng(2024)
+    fps = 10.0
+    pad = 32
+    wins = []
+    kinds = []
+    for trial in range(n_windows):
+        n = int(rng.integers(4, 21))
+        t0 = rng.uniform(0, 12)
+        t = t0 + np.arange(n) / fps
+        kind = trial % 3
+        if kind == 0:    # genuine peak (sigma swept across the cutoff)
+            sig = rng.uniform(0.1, 1.2)
+            c = t0 + n / (2 * fps)
+            y = rng.uniform(0.2, 3) * np.exp(-((t - c) ** 2)
+                                             / (2 * sig ** 2)) \
+                + rng.normal(0, 0.05, n)
+        elif kind == 1:  # oscillation fragment (filtered-signal look)
+            y = np.sin(2 * np.pi * rng.uniform(0.2, 0.45) * t) \
+                + rng.normal(0, 0.1, n)
+        else:            # pure noise
+            y = rng.normal(0, 1, n)
+        wins.append((t, y))
+        kinds.append(kind)
+
+    T = np.zeros((n_windows, pad), np.float32)
+    Y = np.zeros((n_windows, pad), np.float32)
+    M = np.zeros((n_windows, pad), bool)
+    for i, (t, y) in enumerate(wins):
+        T[i, :len(t)] = t
+        Y[i, :len(y)] = y
+        M[i, :len(t)] = True
+    res = jax.jit(gaussfit.gaussian_fit_batch)(
+        jnp.asarray(T), jnp.asarray(Y), jnp.asarray(M))
+    got_dev = np.asarray(res.dev)
+    got_conv = np.asarray(res.converged)
+
+    def gauss(x, a, c, s):
+        return a * np.exp(-((x - c) ** 2) / (2 * s ** 2))
+
+    agree = [0, 0]
+    total = [0, 0]
+    for i, (t, y) in enumerate(wins):
+        try:
+            p, _ = curve_fit(gauss, t, y,
+                             p0=[y.max(), t[0], (t[1] - t[0]) * 5])
+            want = p[2] < 10.0
+        except (RuntimeError, TypeError):
+            want = False
+        got = bool(got_conv[i]) and float(got_dev[i]) < 10.0
+        b = 1 if kinds[i] == 2 else 0
+        total[b] += 1
+        agree[b] += int(got == want)
+    ar = agree[0] / max(total[0], 1)
+    an = agree[1] / max(total[1], 1)
+    log(f"device gaussfit accept/reject vs scipy: realistic "
+        f"{agree[0]}/{total[0]} ({ar:.1%}), pure-noise {agree[1]}/"
+        f"{total[1]} ({an:.1%})")
+    return ar, an, total[0], total[1]
 
 
 def _warmup():
@@ -1229,6 +1406,8 @@ def main():
                    help="--fleet-live: frame height (shrink for CPU smoke)")
     p.add_argument("--width", type=int, default=1920,
                    help="--fleet-live: frame width")
+    p.add_argument("--no-fleet", action="store_true",
+                   help="headline: skip the compact 16x720p fleet segment")
     args = p.parse_args()
     if args.breakdown:
         main_fleet_breakdown(args.streams or 64)
@@ -1242,7 +1421,7 @@ def main():
     elif args.multistream:
         main_multistream(args.streams or 64)
     else:
-        main_headline()
+        main_headline(include_fleet=not args.no_fleet)
 
 
 if __name__ == "__main__":

@@ -35,12 +35,12 @@ import jax.numpy as jnp
 # geometry, round 3).  These are 3x3-scale products — the cost is nil.
 _HI = jax.lax.Precision.HIGHEST
 
-# Stage depths for the parallel-in-lambda trust-region bisect (see
-# gaussian_fit_single): each stage batch-solves a 2^k+1-point geometric
-# (exp/log) grid — ULP-equivalent to the sequential sqrt-midpoint chain —
-# and replays k bisect levels as index arithmetic.  (8, 8, 8) covers the
-# default 24 levels in 3 batched solves instead of 24 chained ones.
-_BISECT_STAGES = (8, 8, 8)
+# Iteration budget for the safeguarded Newton solve of the trust-region
+# lambda (see gaussian_fit_single).  Newton converges superlinearly once
+# bracketed; 16 safeguarded steps reach f32 precision on the root from the
+# [1e-12, 1e12] initial bracket (rejected-Newton steps fall back to the
+# geometric midpoint, so the worst case is still a 16-level bisect).
+_TR_NEWTON_ITERS = 16
 
 
 class GaussFit(NamedTuple):
@@ -81,8 +81,7 @@ def _solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
                         iters: int = 200, ftol: float | None = None,
-                        xtol: float | None = None,
-                        bisect_iters: int = 24) -> GaussFit:
+                        xtol: float | None = None) -> GaussFit:
     """Trust-region LM fit of a Gaussian to masked (t, y) points.
 
     Initial guess matches peakutils.gaussian_fit: ``[max(y), t[0], 5*dt]``
@@ -147,51 +146,45 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
         gn_norm = jnp.sqrt(jnp.sum((D * d_gn) ** 2))
         inside = gn_norm <= Delta
 
-        # Bisect the LM parameter in log space until ||D delta|| ~= Delta.
-        # Parallel formulation of the sequential geometric bisect
-        # (mid = sqrt(lo*hi); lo = mid if ||D solve(mid)|| > Delta),
-        # equivalent up to ULPs: every midpoint a k-level bisect can visit
-        # lies on the k-level geometric grid over [lo, hi], so each stage
-        # materializes that grid via one vectorized exp/log (NOT the
-        # scalar loop's literal sqrt chain — the visited lambdas agree
-        # only to rounding, so do not rely on bit-reproducibility of the
-        # old scalar bisect), batch-solves ALL candidate lambdas in one
-        # vmapped 3x3 solve, and replays the bisect as pure index
-        # arithmetic over the predicate array.  Sequential depth drops
-        # from ``bisect_iters`` chained solves to ``len(stages)`` batched
-        # ones — the LM fit is latency-bound, not FLOP-bound, on TPU.
-        def norm_at(lam):
-            return jnp.sqrt(jnp.sum((D * solve(lam)) ** 2))
-
-        def bisect_stage(lo, hi, k):
-            # Geometric k-level refinement grid over [lo, hi]: pts[j] =
-            # lo^(1-j/2^k) * hi^(j/2^k) — the same candidate set the
-            # sequential sqrt-midpoint bisect can visit (equal up to ULPs),
-            # built with one vectorized exp/log.  (A literal construction
-            # via k stride-2 concatenate+reshape interleave levels measured
-            # ~5x the whole fleet step's budget: lane-axis interleaves
-            # lower terribly on TPU — see CLAUDE.md / ops/ccl.py.)
-            frac = jnp.linspace(0.0, 1.0, 2 ** k + 1).astype(dtype)
-            pts = jnp.exp((1.0 - frac) * jnp.log(lo) + frac * jnp.log(hi))
-            go_up = jax.vmap(norm_at)(pts) > Delta   # lo <- mid when True
-            i_lo, i_hi = jnp.asarray(0), jnp.asarray(2 ** k)
-            for _ in range(k):            # index replay of the bisect
-                i_mid = (i_lo + i_hi) // 2
-                up = go_up[i_mid]
-                i_lo = jnp.where(up, i_mid, i_lo)
-                i_hi = jnp.where(up, i_hi, i_mid)
-            return pts[i_lo], pts[i_hi]
+        # Solve ||D d(lam)|| = Delta for the LM parameter by safeguarded
+        # Newton on 1/||D d|| (More-Sorensen; MINPACK lmpar's update rule),
+        # maintaining a geometric bracket: a rejected Newton candidate
+        # falls back to sqrt(lo*hi), so the worst case degrades to the old
+        # geometric bisect.  This finds the root of the SAME scalar
+        # equation the previous 3-stage 2^8+1-point grid bisect resolved
+        # to ~3e-6 relative (Newton reaches f32 precision), so the visited
+        # LM iterates agree to the same rounding class as that grid — do
+        # not rely on bit-reproducibility across solver revisions; the
+        # accept/reject contract is validated against the scipy oracle
+        # (tests/test_gaussfit.py) and spot-checked on device (bench
+        # warmup).  Cost per LM iteration drops from 771 batched 3x3
+        # solves (the grids) to at most 2*_TR_NEWTON_ITERS + 2 — the
+        # gaussian-fit stage was compute-bound on those grids (measured
+        # 2.4 ms/LM-iteration at 4096 vmapped lanes, round 4).
+        #
+        # Derivation: with A(lam) = JtJ + lam*diag(D^2) + reg,
+        # d(lam) = A^-1 (-g), n(lam) = ||D d||, the Newton step on
+        # psi(lam) = 1/n - 1/Delta is
+        #   lam+ = lam + (n - Delta)/Delta * n^2 / (q . A^-1 q),
+        # where q = diag(D^2) d  (so n' = -(q . A^-1 q)/n).
+        def tr_newton(lam, lo, hi):
+            d = solve(lam)
+            dn = jnp.sqrt(jnp.sum((D * d) ** 2))
+            q = (D * D) * d
+            v = _solve3(JtJ + lam * jnp.diag(D * D) + reg, q)
+            qv = jnp.dot(q, v, precision=_HI)
+            root_above = dn > Delta          # ||D d|| too big -> raise lam
+            lo = jnp.where(root_above, lam, lo)
+            hi = jnp.where(root_above, hi, lam)
+            cand = lam + (dn - Delta) * dn * dn / (Delta * qv)
+            ok = jnp.isfinite(cand) & (cand > lo) & (cand < hi) & (qv > 0)
+            return jnp.where(ok, cand, jnp.sqrt(lo * hi)), lo, hi
 
         lo = jnp.asarray(1e-12, dtype)
         hi = jnp.asarray(1e12, dtype)
-        done_levels = 0
-        for k in _BISECT_STAGES:
-            k = min(k, bisect_iters - done_levels)
-            if k <= 0:
-                break
-            lo, hi = bisect_stage(lo, hi, k)
-            done_levels += k
         par = jnp.sqrt(lo * hi)
+        for _ in range(_TR_NEWTON_ITERS):
+            par, lo, hi = tr_newton(par, lo, hi)
         delta = jnp.where(inside, d_gn, solve(par))
 
         p_new = p + delta

@@ -123,6 +123,12 @@ class _LevelPatches(NamedTuple):
     wprime: int              # patch-grid width (static; unused in slices)
     hw: Tuple[int, int]      # unpadded level shape (static)
     mode: str = "patches"    # next-window sampling mode (static)
+    # prev-window sampling (once per level, image+dx+dy): "slices" = one
+    # (3, win+1, win+1) dynamic slice per point; "onehot" = one-hot MXU
+    # extraction (bit-identical, no per-point gathers — see
+    # _window_onehot3).  The whole-clip scan uses onehot: at 100 points x
+    # 3 levels the per-point slice gathers dominated the scan step.
+    prev_mode: str = "slices"
 
 
 def _patch_matrix(img_pad: jnp.ndarray, win: int,
@@ -168,6 +174,40 @@ def _window_slices3(stack: jnp.ndarray, pad: int, by, bx, fy, fx,
 
     w3 = jax.vmap(one)(by, bx, fy, fx)        # (N, 3, win*win)
     return w3[:, 0], w3[:, 1], w3[:, 2]
+
+
+def _window_onehot3(stack: jnp.ndarray, pad: int, by, bx, fy, fx,
+                    win: int):
+    """Three (N, win*win) bilinear windows (image, dx, dy) via one-hot MXU
+    extraction of the (3, Hp, Wp) channel stack — the zero-workspace
+    alternative to ``_window_slices3``: per-point 2D dynamic-slice gathers
+    are latency-bound on TPU and dominate the whole-clip scan step, while
+    the one-hot contraction rides the MXU.  Bases are clamped exactly as
+    ``dynamic_slice`` clamps its start, and each selector row has exactly
+    one nonzero, so at ``Precision.HIGHEST`` the extracted grid holds the
+    exact f32 pixels — bit-identical to ``_window_slices3`` (same pixels,
+    same bilinear weight/add order)."""
+    s = win + 1
+    _, hp, wp = stack.shape
+    byc = jnp.clip(by + pad, 0, hp - s)
+    bxc = jnp.clip(bx + pad, 0, wp - s)
+    ky = byc[:, None] + jnp.arange(s)[None, :]
+    kx = bxc[:, None] + jnp.arange(s)[None, :]
+    dtype = stack.dtype
+    sely = (ky[:, :, None] == jnp.arange(hp)[None, None, :]).astype(dtype)
+    selx = (kx[:, :, None] == jnp.arange(wp)[None, None, :]).astype(dtype)
+    tmp = jnp.einsum("nsh,chw->ncsw", sely, stack,
+                     precision=jax.lax.Precision.HIGHEST)
+    grid = jnp.einsum("ncsw,nqw->ncsq", tmp, selx,
+                      precision=jax.lax.Precision.HIGHEST)   # (N, 3, s, s)
+    fy1 = fy[:, None, None, None]
+    fx1 = fx[:, None, None, None]
+    out = (grid[:, :, :-1, :-1] * (1 - fy1) * (1 - fx1)
+           + grid[:, :, :-1, 1:] * (1 - fy1) * fx1
+           + grid[:, :, 1:, :-1] * fy1 * (1 - fx1)
+           + grid[:, :, 1:, 1:] * fy1 * fx1)
+    out = out.reshape(out.shape[0], 3, win * win)
+    return out[:, 0], out[:, 1], out[:, 2]
 
 
 def _window_slices1(img_pad: jnp.ndarray, pad: int, by, bx, fy, fx,
@@ -269,7 +309,12 @@ def _track_level(lp: _LevelPatches, prev_pts, next_pts, status, level, win,
 
     out_prev = (bx < -win) | (bx >= w) | (by < -win) | (by >= h)
 
-    iw, ixw, iyw = _window_slices3(lp.prev_stack, pad, by, bx, fy, fx, win)
+    if lp.prev_mode == "onehot":
+        iw, ixw, iyw = _window_onehot3(lp.prev_stack, pad, by, bx, fy, fx,
+                                       win)
+    else:
+        iw, ixw, iyw = _window_slices3(lp.prev_stack, pad, by, bx, fy, fx,
+                                       win)
 
     a11 = jnp.sum(ixw * ixw, axis=1)
     a12 = jnp.sum(ixw * iyw, axis=1)
@@ -429,11 +474,14 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
                          shapes, wprimes, win: int = 15, max_level: int = 2,
                          max_iters: int = 10, eps: float = 0.03,
                          min_eig_thresh: float = 1e-4,
-                         sample: str = "patches") -> FlowResult:
+                         sample: str = "patches",
+                         prev_sample: str = "slices") -> FlowResult:
     """LK tracking from precomputed frame inputs (see LKFrameInputs).
 
     ``shapes``/``wprimes`` come from ``level_geometry`` (static);
-    ``sample`` picks the next-window mode (see _LevelPatches)."""
+    ``sample`` picks the next-window mode and ``prev_sample`` the
+    prev-window mode (see _LevelPatches) — all modes are bit-identical;
+    they differ only in gather strategy/memory."""
     dtype = prev.stacks[0].dtype
     eps2 = jnp.asarray(min(max(eps, 0.0), 10.0) ** 2, dtype)
 
@@ -446,7 +494,7 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
                                  if sample in ("slices", "onehot")
                                  else nxt.patches[level]),
                            wprime=wprimes[level], hw=shapes[level],
-                           mode=sample)
+                           mode=sample, prev_mode=prev_sample)
         prev_pts = pts / (2.0 ** level)
         next_pts = next_pts * 2.0
         next_pts, status = _track_level(

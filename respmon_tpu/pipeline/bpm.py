@@ -68,8 +68,20 @@ def estimate_bpm(data: jnp.ndarray, t: jnp.ndarray, count: jnp.ndarray,
     win_mask = cand_mask[:, None] & (offs[None, :] < 2 * w2[:, None]) \
         & (gidx >= 0) & (gidx < n)
 
-    fit = gaussfit.gaussian_fit_batch(win_t, win_y, win_mask)
-    accept = cand_mask & fit.converged & (fit.dev < cfg.gaussian_cutoff)
+    # Static bound on how many peaks suppression can keep: at spacing
+    # min_dist+1 at most n//(min_dist+1)+1 survive (peaks.py caps its
+    # greedy loop there), and peak_indexes_masked compacts kept indices
+    # ascending — so candidate slots >= fit_lanes are provably empty.
+    # Fit only the live slots: the batched LM while_loop's per-iteration
+    # cost scales with lane count, and a 128-sample ring at min_dist 10
+    # can occupy at most 14 of the 32 static slots.
+    fit_lanes = min(max_peaks, n // (min_dist + 1) + 1) if min_dist > 1 \
+        else max_peaks
+    fit = gaussfit.gaussian_fit_batch(win_t[:fit_lanes], win_y[:fit_lanes],
+                                      win_mask[:fit_lanes])
+    pad = (0, max_peaks - fit_lanes)
+    accept = cand_mask & jnp.pad(fit.converged, pad) \
+        & (jnp.pad(fit.dev, pad) < cfg.gaussian_cutoff)
 
     # Peak times of accepted candidates, compacted in ascending order.
     times = t[jnp.clip(cand_idx, 0, n - 1)]

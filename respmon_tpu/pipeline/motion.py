@@ -51,6 +51,13 @@ class MeasureSpec:
     # memory; 'onehot' (bit-identical, MXU-fed) is the fleet throughput
     # mode; 'patches16' is the legacy bf16 im2col mode.
     lk_sample: str = "slices"
+    # Whole-clip scan path modes (all bit-identical; see ops/lk.py).
+    # next-window: 'patches' hoists im2col matrices out of the scan (fast
+    # row-takes, ~32 MB/frame HBM at 128x128 crops); prev-window: 'onehot'
+    # replaces the per-point (3, win+1, win+1) dynamic-slice gathers that
+    # dominated the scan step with MXU one-hot extraction.
+    clip_lk_sample: str = "patches"
+    clip_prev_sample: str = "onehot"
 
     @staticmethod
     def bucket(dim: int, bucket: int, cap: int) -> int:

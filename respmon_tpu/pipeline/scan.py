@@ -104,8 +104,15 @@ def _flow_samples_clip(crops: jnp.ndarray, mask: jnp.ndarray,
     crops_u8 = jnp.where(mask, crops, 0).astype(dtype) if u8_in \
         else motion._to_u8_scale(jnp.where(mask, crops, 0.0))
 
+    nxt_mode = spec.clip_lk_sample
+    prev_mode = spec.clip_prev_sample
     inputs = jax.vmap(
-        lambda c: lk.precompute_frame_inputs(c, win, max_level))(crops_u8)
+        lambda c: lk.precompute_frame_inputs(
+            c, win, max_level,
+            with_patches=nxt_mode in ("patches", "patches16"),
+            with_images=nxt_mode in ("slices", "onehot"),
+            patch_dtype=jnp.bfloat16 if nxt_mode == "patches16"
+            else None))(crops_u8)
 
     cs = corners.good_features_to_track(
         crops_u8[0], max_corners=spec.features.max_corners,
@@ -127,7 +134,8 @@ def _flow_samples_clip(crops: jnp.ndarray, mask: jnp.ndarray,
         prev_in, next_in = xs
         fr = lk.lk_track_precomputed(
             prev_in, next_in, pts, valid, shapes, wprimes, win, max_level,
-            spec.lk.max_iters, spec.lk.epsilon)
+            spec.lk.max_iters, spec.lk.epsilon, sample=nxt_mode,
+            prev_sample=prev_mode)
         sample, good, motion_xy, motion_count, lost = motion.flow_update(
             fr, pts, valid, motion_xy, motion_count, n_ring, dtype)
         return (fr.pts, good, motion_xy, motion_count), (sample, lost)
