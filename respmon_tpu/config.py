@@ -96,6 +96,19 @@ class MonitorConfig:
     compute_dtype: str = "float32"      # device compute dtype
     roi_bucket: int = 32                # ROI dims rounded up to this multiple
                                         # to bound jit recompiles
+    # Streaming ROI mode (pipeline/streaming.py productized as a monitor
+    # mode; precedent: the reference's incremental sliding-window EVM
+    # prototype, prototypes/locating.py:94-147).  When enabled, the monitor
+    # keeps a rolling pyramid ring during measurement and re-locks the ROI
+    # onto the localizer's current bbox every ``streaming_interval`` frames
+    # once its center drifts > ``streaming_drift_px`` — a moving subject is
+    # followed continuously instead of degrading into the error-reset
+    # cycle.  Tracked flow points shift with the window (same physical
+    # pixels); if every point leaves the new window, corners re-detect on
+    # the next frame without an error state.
+    streaming_roi: bool = False
+    streaming_interval: int = 8         # frames between streaming updates
+    streaming_drift_px: float = 4.0     # min center drift to re-lock
 
     def validate(self) -> "MonitorConfig":
         """Assert-based validation matching reference base.py:24-34."""

@@ -24,6 +24,7 @@ which only flow-mode NaNs produce — base.py:543-545).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -209,6 +210,43 @@ def measure_step(state: MeasureState, frame: jnp.ndarray,
         error=error,
     )
     return new_state, sample
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def relock_state(state: MeasureState, frame: jnp.ndarray,
+                 new_roi: jnp.ndarray, spec: MeasureSpec) -> MeasureState:
+    """Move a measurement state onto a new ROI without losing tracking
+    (the streaming-ROI monitor mode's re-lock step; no reference analog —
+    the reference can only recalibrate from scratch).
+
+    The crop window shifts with the ROI, so tracked points are translated
+    by the window-origin delta (they keep referencing the same physical
+    pixels) and ``prev_crop`` is re-cropped from the CURRENT frame at the
+    new window so the next LK step sees a consistent prev/next pair.
+    Points that leave the new window are invalidated; if none survive,
+    ``initialized`` drops so the next measure step re-detects corners on
+    the new crop (no error state — the signal rings persist).
+
+    ``frame`` accepts float [0,1] or camera-native uint8 like
+    ``measure_step``."""
+    (sy_old, sx_old), _, _ = _roi_window_mask(state.roi, spec)
+    new_roi = new_roi.astype(jnp.int32)
+    crop, mask, _ = _crop_and_mask(frame, new_roi, spec)
+    if frame.dtype == jnp.uint8:
+        crop_u8 = jnp.where(mask, crop, 0).astype(state.prev_crop.dtype)
+    else:
+        crop_u8 = _to_u8_scale(jnp.where(mask, crop, 0.0)) \
+            .astype(state.prev_crop.dtype)
+    (sy_new, sx_new), _, _ = _roi_window_mask(new_roi, spec)
+    shift = jnp.stack([sx_old - sx_new, sy_old - sy_new]) \
+        .astype(state.pts.dtype)
+    pts = state.pts + shift[None, :]
+    inb = (pts[:, 0] >= 0) & (pts[:, 0] <= spec.crop_w - 1) & \
+          (pts[:, 1] >= 0) & (pts[:, 1] <= spec.crop_h - 1)
+    valid = state.pts_valid & inb
+    return state._replace(
+        roi=new_roi, prev_crop=crop_u8, pts=pts, pts_valid=valid,
+        initialized=state.initialized & (jnp.sum(valid) > 0))
 
 
 def flow_update(fr, pts, valid, motion_xy, motion_count,

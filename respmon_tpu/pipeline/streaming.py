@@ -60,6 +60,44 @@ def init_streaming_state(h: int, w: int, cfg: CalibrationConfig,
     return StreamingState(levels=levels, count=jnp.asarray(0, jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def init_streaming_from_buffer(buffer: jnp.ndarray,
+                               cfg: CalibrationConfig) -> StreamingState:
+    """Warm-start the streaming rings from a full (T, H, W) calibration
+    buffer in ONE batched program (vmapped pyramids), so a monitor that
+    just batch-calibrated can enter streaming mode with a ready window
+    instead of waiting ``buffer_length`` frames.
+
+    ``buffer`` must hold at least ``cfg.buffer_length`` frames; the last
+    ``buffer_length`` fill the rings (newest last, matching
+    ``streaming_update``'s roll+write order)."""
+    t = cfg.buffer_length
+    buf = buffer[-t:]
+    lap = jax.vmap(
+        lambda f: laplacian_pyramid(f, cfg.pyramid_levels))(buf)
+    levels = tuple(lap[i] for i in _kept_levels(cfg))
+    return StreamingState(levels=levels, count=jnp.asarray(t, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def streaming_absorb(state: StreamingState, frame: jnp.ndarray,
+                     cfg: CalibrationConfig) -> StreamingState:
+    """Absorb one frame into the rolling pyramid rings WITHOUT localizing —
+    the cheap per-frame half of ``streaming_update``.  The monitor's
+    streaming-ROI mode absorbs every frame (the bandpass assumes a
+    contiguous fps-rate window) but only pays the localize half every
+    ``streaming_interval`` frames."""
+    kept = _kept_levels(cfg)
+    lap = laplacian_pyramid(frame, cfg.pyramid_levels)
+    new_levels = []
+    for ring, lvl in zip(state.levels, kept):
+        rolled = jnp.roll(ring, -1, axis=0)
+        new_levels.append(rolled.at[-1].set(lap[lvl]))
+    return StreamingState(
+        levels=tuple(new_levels),
+        count=jnp.minimum(state.count + 1, cfg.buffer_length))
+
+
 @partial(jax.jit, static_argnames=("fps", "cfg"))
 def streaming_update(state: StreamingState, frame: jnp.ndarray, fps: float,
                      cfg: CalibrationConfig) \
@@ -74,14 +112,8 @@ def streaming_update(state: StreamingState, frame: jnp.ndarray, fps: float,
     shapes = pyramid_shapes(h0, w0, cfg.pyramid_levels)
     kept = _kept_levels(cfg)
 
-    lap = laplacian_pyramid(frame, cfg.pyramid_levels)
-    new_levels = []
-    for ring, lvl in zip(state.levels, kept):
-        rolled = jnp.roll(ring, -1, axis=0)
-        new_levels.append(rolled.at[-1].set(lap[lvl]))
-    new_state = StreamingState(
-        levels=tuple(new_levels),
-        count=jnp.minimum(state.count + 1, cfg.buffer_length))
+    new_state = streaming_absorb(state, frame, cfg)
+    new_levels = new_state.levels
 
     # Bandpass + collapse over the window (zero levels skipped implicitly).
     band = {lvl: temporal_bandpass_fft(ring, fps, cfg.freq_min,

@@ -81,7 +81,8 @@ class RespiratoryMonitor:
                  use_feeder: Optional[bool] = None,
                  feeder_capacity: int = 4,
                  feeder_latest: Optional[bool] = None,
-                 verbose_evm: bool = False):
+                 verbose_evm: bool = False,
+                 streaming_roi: Optional[bool] = None):
         cfg = config or MonitorConfig()
         cfg = MonitorConfig(
             fps_limit=fps_limit, error_reset_delay=error_reset_delay,
@@ -92,7 +93,11 @@ class RespiratoryMonitor:
             disable_error_detection=cfg.disable_error_detection,
             calibration=cfg.calibration, measure=cfg.measure,
             features=cfg.features, lk=cfg.lk,
-            compute_dtype=cfg.compute_dtype, roi_bucket=cfg.roi_bucket)
+            compute_dtype=cfg.compute_dtype, roi_bucket=cfg.roi_bucket,
+            streaming_roi=(cfg.streaming_roi if streaming_roi is None
+                           else bool(streaming_roi)),
+            streaming_interval=cfg.streaming_interval,
+            streaming_drift_px=cfg.streaming_drift_px)
         self.config = cfg.validate()
         self.benchmarker = Benchmarker()
         for tag in ("Measurement Loop", "Frame Capture",
@@ -186,6 +191,11 @@ class RespiratoryMonitor:
         self._measure_spec: Optional[motion.MeasureSpec] = None
         self._measure_state: Optional[motion.MeasureState] = None
         self._lowpass = None
+        # Streaming-ROI mode (config.streaming_roi): rolling pyramid rings
+        # + continuous re-lock during measurement.
+        self._streaming_state = None
+        self._streaming_tick = 0
+        self.relocks = 0             # observable: streaming re-lock count
 
         self.ui = make_ui(visualize, fig_size)
 
@@ -302,6 +312,8 @@ class RespiratoryMonitor:
         self._measure_state = None
         self.cropped_image = None
         self.motion_key_points = None
+        self._streaming_state = None
+        self._streaming_tick = 0
         if self._recorder is not None:
             self._recorder.release_video()
 
@@ -382,6 +394,16 @@ class RespiratoryMonitor:
         logger.info("Finished calibration.")
         logger.info("Beginning measuring...")
         self._setup_measurement()
+        if self.config.streaming_roi:
+            from respmon_tpu.pipeline import streaming
+
+            # Warm-start the rolling pyramid rings from the calibration
+            # buffer so re-locking can begin immediately (one batched
+            # program; see streaming.init_streaming_from_buffer).
+            self._streaming_state = streaming.init_streaming_from_buffer(
+                jnp.asarray(self.calibration_buffer, self.compute_dtype),
+                self.config.calibration)
+            self._streaming_tick = 0
         self.state = "measure"
         return False
 
@@ -412,6 +434,8 @@ class RespiratoryMonitor:
             self._measure_state, frame_dev, spec, self._lowpass,
             max(self.peak_minimum_sample_distance, 1), self.config.measure)
         self._measure_state = new_state
+        if self.config.streaming_roi and self._streaming_state is not None:
+            self._streaming_roi_step(frame_dev)
         sample_val = float(sample)
         self.data.append(sample_val)
         self.t.append(0.0 if len(self.t) == 0
@@ -441,6 +465,55 @@ class RespiratoryMonitor:
             if not self.disable_error_detection and self.detect_errors():
                 self.trigger_error("error detection found poor signal")
         self.benchmarker.tick_end("Measurement Loop")
+
+    def _streaming_roi_step(self, frame_dev):
+        """Streaming-ROI mode (config.streaming_roi): absorb the frame into
+        the rolling pyramid rings every frame (the bandpass needs a
+        contiguous fps-rate window) and every ``streaming_interval`` frames
+        run the full streaming localizer; when the located center has
+        drifted ≥ ``streaming_drift_px``, re-lock the measurement window
+        onto it via ``motion.relock_state`` — tracked points and the signal
+        rings survive, so a moving subject is followed continuously
+        instead of decaying into the error→recalibrate stall.
+
+        The window KEEPS its calibrated size (recentred on the new bbox
+        center, clipped to the frame): the crop bucket, the session
+        recorder's AVI geometry, and the compiled program all stay fixed
+        across re-locks."""
+        from respmon_tpu.pipeline import streaming
+
+        cal = self.config.calibration
+        self._streaming_tick += 1
+        if self._streaming_tick % self.config.streaming_interval:
+            self._streaming_state = streaming.streaming_absorb(
+                self._streaming_state, frame_dev, cal)
+            return
+        self._streaming_state, res = streaming.streaming_update(
+            self._streaming_state, frame_dev, float(self.fps), cal)
+        if not bool(res.found):
+            return
+        bx, by = int(res.x), int(res.y)
+        bw, bh = int(res.w), int(res.h)
+        cx = bx + bw / 2.0
+        cy = by + bh / 2.0
+        drift = math.hypot(cx - (self.x + self.w / 2.0),
+                           cy - (self.y + self.h / 2.0))
+        if drift < self.config.streaming_drift_px:
+            return
+        x2 = int(round(cx - self.w / 2.0))
+        y2 = int(round(cy - self.h / 2.0))
+        x2 = max(0, min(x2, self.width - self.w))
+        y2 = max(0, min(y2, self.height - self.h))
+        if (x2, y2) == (self.x, self.y):
+            return
+        self._measure_state = motion.relock_state(
+            self._measure_state, frame_dev,
+            jnp.asarray([x2, y2, self.w, self.h]), self._measure_spec)
+        self.x, self.y = x2, y2
+        self.relocks += 1
+        logger.info("Streaming re-lock #%d: ROI -> (%d, %d, %d, %d), "
+                    "drift %.1f px", self.relocks, x2, y2, self.w, self.h,
+                    drift)
 
     def _consume_bpm(self, res):
         """Host mirrors from the fused step's BPM result (the device-side

@@ -156,6 +156,55 @@ def test_streaming_roi_follows_moving_subject():
         "drift too small to demonstrate tracking"
 
 
+def _streaming_monitor_run(method, n=96, drift=(14.0, 24.0)):
+    T = 16
+    cal = CalibrationConfig(buffer_length=T, pyramid_levels=4,
+                            skip_levels_at_top=1)
+    clip = breathing_clip(num_frames=n, height=60, width=80, fps=FPS,
+                          bpm=37.5, patch_center=(18, 20),
+                          patch_size=(10, 12), amplitude=0.35,
+                          drift_px=drift, noise=0.0,
+                          motion_px=1.5 if method == "flow" else 0.0,
+                          texture_motion=method == "flow")
+    cfg = MonitorConfig(calibration=cal, streaming_roi=True,
+                        streaming_interval=4, streaming_drift_px=2.0)
+    mon = RespiratoryMonitor(
+        capture_target="synthetic", save_all_data=False, visualize=None,
+        motion_extraction_method=method, config=cfg,
+        capture=ArrayCapture(clip, fps=FPS), auto_run=False,
+        sync_fps=False)
+    mon.run()
+    return mon, clip, drift, n
+
+
+def test_monitor_streaming_relock_follows_drift():
+    # Monitor-mode streaming ROI (config.streaming_roi): the subject
+    # drifts far enough that the batch calibrator's frozen box would lose
+    # it; the streaming mode must re-lock repeatedly, keep the subject
+    # inside the window, and never enter the error state.
+    mon, clip, drift, n = _streaming_monitor_run("average")
+    assert mon.state == "measure", mon.error_message
+    assert mon.relocks >= 2, f"only {mon.relocks} re-locks"
+    ty = 18.0 + drift[0]
+    tx = 20.0 + drift[1]
+    assert mon.x <= tx <= mon.x + mon.w, (mon.x, mon.w, tx)
+    assert mon.y <= ty <= mon.y + mon.h, (mon.y, mon.h, ty)
+    # The initial calibrated window must NOT contain the final center
+    # (otherwise the drift is too small to demonstrate tracking) — the
+    # re-lock trail is what kept the subject covered.
+
+
+def test_monitor_streaming_relock_preserves_flow_tracking():
+    # relock_state shifts tracked points with the window (same physical
+    # pixels) and re-crops prev from the current frame: flow tracking must
+    # survive re-locks without NaN samples or the error state.
+    mon, clip, drift, n = _streaming_monitor_run("flow")
+    assert mon.state == "measure", mon.error_message
+    assert mon.relocks >= 1
+    samples = np.asarray(mon.data, float)
+    assert np.isfinite(samples).all(), "tracking lost across a re-lock"
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint / resume
 # ---------------------------------------------------------------------------
