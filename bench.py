@@ -38,6 +38,28 @@ import numpy as np
 REFERENCE_BEST_FPS = 7.68  # BASELINE.md: best observed session fps
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: re-runs of any bench mode (and the
+    recovery soak's per-ROI-bucket measure programs) skip the 10-80 s
+    compiles when the same program was built by ANY previous process.
+    Verified effective through the axon tunnel (79.4 s -> 16.0 s on a
+    cold second process).  Best-effort: older jaxlibs without the knobs
+    just run uncached."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "RESPMON_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        log(f"compilation cache unavailable: {e!r}")
+
+
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
@@ -1381,6 +1403,163 @@ def main_fleet_live(streams: int = 16, measure_frames: int = 64,
     }))
 
 
+def main_recovery(cycles: int = 3, error_reset_delay: float = 0.5,
+                  height: int = 480, width: int = 640,
+                  smoke: bool = False):
+    """Error-recovery soak ON DEVICE (VERDICT r3 #6): drive the full
+    RespiratoryMonitor state machine — calibrate → measure → blackout fault
+    → NaN detection → error → reset → recalibrate — ``cycles`` times on the
+    real backend, and report recovery latency.
+
+    The CPU suite exercises this loop under the conftest
+    (tests/test_streaming_checkpoint_faults.py, tests/test_monitor.py), but
+    the repo's own history says jit/TPU-only semantics bugs exist (the u8
+    widen, the bf16 gaussfit flips) — this soak is the driver-visible
+    evidence the recovery subsystem works compiled on TPU.
+
+    Method: an adaptive capture serves phase-continuous breathing frames
+    (bpm 18.75 → an exactly 32-frame period at fps 10, so the pool cycles
+    without a phase jump, reference fixture otherwise identical to the
+    headline clip) and switches to blackout frames once the monitor has
+    produced 8 BPM samples in the cycle; blackout kills the LK texture →
+    NaN sample → ``detect_errors`` → error state (base.py:543-545
+    semantics).  Good frames resume immediately so the post-reset
+    recalibration sees a live subject.  Recovery latency = wall time from
+    the error transition to the first BPM estimate of the next cycle
+    (includes the ``error_reset_delay`` wait, the 128-frame recalibration
+    + fused locate, measurement restart, and the >12-sample BPM warmup).
+    """
+    import jax.numpy as jnp
+
+    from respmon_tpu.config import MonitorConfig
+    from respmon_tpu.io.synthetic import breathing_clip
+    from respmon_tpu.runtime.monitor import RespiratoryMonitor
+
+    _warmup()
+    fps_video, true_bpm = 10.0, 18.75      # 32-frame period at 10 fps
+    log("generating phase-periodic frame pool...")
+    pool = breathing_clip(num_frames=320, height=height, width=width,
+                          fps=fps_video, bpm=true_bpm,
+                          patch_center=(height // 2, width // 2),
+                          patch_size=(min(80, height // 3),
+                                      min(100, width // 3)),
+                          amplitude=0.12, motion_px=2.0,
+                          texture_motion=True)
+    black = np.zeros_like(pool[0])
+
+    class AdaptiveSource:
+        """Serves good breathing frames or blackouts, driver-controlled."""
+
+        def __init__(self):
+            self.fps = fps_video
+            self.height, self.width = pool.shape[1:]
+            self.mode = "good"
+            self.idx = 0          # advances only on good frames: phase
+            self.open = True      # stays continuous across blackouts
+
+        def next_frame(self):
+            if not self.open:
+                return None
+            if self.mode == "black":
+                return black
+            f = pool[self.idx % len(pool)]
+            self.idx += 1
+            return f
+
+        def is_open(self):
+            return self.open
+
+        def release(self):
+            self.open = False
+
+    src = AdaptiveSource()
+    if smoke:   # CPU-affordable geometry for logic smoke tests
+        from respmon_tpu.config import CalibrationConfig
+        cfg = MonitorConfig(
+            motion_extraction_method="flow",
+            calibration=CalibrationConfig(buffer_length=64,
+                                          pyramid_levels=5,
+                                          skip_levels_at_top=2))
+    else:
+        cfg = MonitorConfig(motion_extraction_method="flow")
+    mon = RespiratoryMonitor(
+        capture_target="recovery-soak", capture=src, config=cfg,
+        motion_extraction_method="flow", visualize=None,
+        save_all_data=False, auto_run=False, sync_fps=False,
+        error_reset_delay=error_reset_delay, use_feeder=False)
+    mon.fps = fps_video
+
+    transitions = []
+    latencies, compute_latencies, bpm_tails = [], [], []
+    last_state = mon.state
+    t_err = None
+    bpm_count_at_reset = 0
+    t_start = time.time()
+    log(f"soaking {cycles} fault/recovery cycles "
+        f"(error_reset_delay={error_reset_delay}s)...")
+    while len(latencies) < cycles and time.time() - t_start < 1800:
+        assert mon.step(), "capture closed unexpectedly"
+        if mon.state != last_state:
+            now = time.time()
+            log(f"  -> {mon.state} (prev phase "
+                f"{now - getattr(main_recovery, '_tt', now):.2f}s)")
+            main_recovery._tt = now
+            transitions.append(mon.state)
+            if mon.state == "error":
+                t_err = time.time()
+                bpm_tails.append(float(np.median(list(mon.freq)[-8:]))
+                                 if mon.freq else float("nan"))
+                src.mode = "good"   # recalibration needs a live subject
+                log(f"cycle {len(latencies)}: error detected "
+                    f"({mon.error_message!r}), pre-fault BPM tail "
+                    f"{bpm_tails[-1]:.2f}")
+            last_state = mon.state
+        if mon.state == "measure" and t_err is not None \
+                and len(mon.freq) > 0:
+            lat = time.time() - t_err
+            latencies.append(lat)
+            compute_latencies.append(lat - error_reset_delay)
+            log(f"cycle {len(latencies) - 1}: recovered in {lat:.2f}s "
+                f"(compute {lat - error_reset_delay:.2f}s), "
+                f"BPM {mon.freq[-1]:.2f}")
+            t_err = None
+        if mon.state == "measure" and t_err is None \
+                and len(mon.freq) >= 8 and src.mode == "good":
+            src.mode = "black"      # inject the next fault
+
+    assert len(latencies) == cycles, \
+        f"only {len(latencies)}/{cycles} recoveries in 30 min"
+    # State-sequence parity: each cycle must be error → (initialize is
+    # internal to reset()) → calibration → measure, matching the CPU-path
+    # recovery tests and base.py:496-500.
+    want = ["error", "calibration", "measure"] * cycles
+    got = [s for s in transitions if s in ("error", "calibration",
+                                           "measure")]
+    # The run starts mid-calibration: drop the leading calibration→measure
+    # pair of cycle 0 before comparing.
+    while got and got[0] != "error":
+        got.pop(0)
+    assert got[:len(want)] == want, f"state sequence {got} != {want}"
+    tails = [b for b in bpm_tails if b == b]
+    print(json.dumps({
+        "metric": f"error_recovery_soak_{width}x{height}",
+        "value": round(float(np.mean(latencies)), 2),
+        "unit": "s mean recovery latency (error->first BPM)",
+        "vs_baseline": round(
+            (error_reset_delay
+             + (cfg.calibration.buffer_length + 13) / fps_video)
+            / float(np.mean(latencies)), 1),
+        "cycles": cycles,
+        "max_latency_s": round(float(np.max(latencies)), 2),
+        "compute_latency_s": round(float(np.mean(compute_latencies)), 2),
+        "error_reset_delay_s": error_reset_delay,
+        "pre_fault_bpm_tail_median": round(float(np.median(tails)), 2)
+        if tails else None,
+        "bpm_true": true_bpm,
+        "state_sequence_ok": True,
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--multistream", action="store_true",
@@ -1408,8 +1587,16 @@ def main():
                    help="--fleet-live: frame width")
     p.add_argument("--no-fleet", action="store_true",
                    help="headline: skip the compact 16x720p fleet segment")
+    p.add_argument("--recovery", action="store_true",
+                   help="soak the calibrate->measure->error->recalibrate "
+                        "loop on device with blackout fault injection")
+    p.add_argument("--cycles", type=int, default=3,
+                   help="--recovery: number of fault/recovery cycles")
     args = p.parse_args()
-    if args.breakdown:
+    _enable_compile_cache()
+    if args.recovery:
+        main_recovery(cycles=args.cycles)
+    elif args.breakdown:
         main_fleet_breakdown(args.streams or 64)
     elif args.fleet_live:
         main_fleet_live(streams=args.streams or 16,

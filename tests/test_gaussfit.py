@@ -88,6 +88,63 @@ def test_decision_agreement_with_curve_fit():
     assert agree == total, f"decision agreement {agree}/{total}"
 
 
+def test_f32_envelope_including_noise_windows():
+    # The FULL f32 decision envelope, pure-noise windows included — the
+    # bound behind the "99% incl. noise" claim (VERDICT r3 #5).  On
+    # degenerate windows scipy's accept/reject is path-chaotic (it rejects
+    # by exhausting maxfev, a property of the f64 iterate path that f32
+    # arithmetic cannot reproduce: measured on-device, full-f64 emulation
+    # replicates 119/120 but costs 43x; ftol/xtol sweeps 3.45e-4→3e-7 and
+    # perturbed-restart consensus both fail to separate — see
+    # BENCHMARKS.md "Gaussian-fit decision envelope").  This test pins the
+    # measured envelope on a fixed probe so regressions are loud:
+    # seed-2024 mixed probe = 112/120 overall, 1 false-reject, with the
+    # realistic (non-noise) rows at 75/80.
+    rng = np.random.default_rng(2024)
+    fps, n_windows = 10.0, 120
+    wins, kinds = [], []
+    for trial in range(n_windows):
+        n = int(rng.integers(4, 21))
+        t0 = rng.uniform(0, 12)
+        t = t0 + np.arange(n) / fps
+        kind = trial % 3
+        if kind == 0:
+            sig = rng.uniform(0.1, 1.2)
+            c = t0 + n / (2 * fps)
+            y = rng.uniform(0.2, 3) * np.exp(
+                -((t - c) ** 2) / (2 * sig ** 2)) + rng.normal(0, 0.05, n)
+        elif kind == 1:
+            y = np.sin(2 * np.pi * rng.uniform(0.2, 0.45) * t) \
+                + rng.normal(0, 0.1, n)
+        else:
+            y = rng.normal(0, 1, n)
+        wins.append((t, y))
+        kinds.append(kind)
+
+    T = np.zeros((n_windows, PAD), np.float32)
+    Y = np.zeros((n_windows, PAD), np.float32)
+    M = np.zeros((n_windows, PAD), bool)
+    for i, (t, y) in enumerate(wins):
+        T[i, :len(t)] = t
+        Y[i, :len(y)] = y
+        M[i, :len(t)] = True
+    res = gaussfit.gaussian_fit_batch(
+        jnp.asarray(T), jnp.asarray(Y), jnp.asarray(M))
+
+    agree = fr = 0
+    for i, (t, y) in enumerate(wins):
+        try:
+            params = golden.peakutils_gaussian_fit(t, y, center_only=False)
+            want = params[2] < 10.0
+        except RuntimeError:
+            want = False
+        got = bool(res.converged[i]) and float(res.dev[i]) < 10.0
+        agree += int(got == want)
+        fr += int(want and not got)
+    assert agree >= 110, f"f32 envelope regressed: {agree}/120 agreement"
+    assert fr <= 2, f"f32 false-rejects regressed: {fr}"
+
+
 def test_insufficient_points_rejected():
     # curve_fit raises for fewer points than parameters; our analog is
     # converged=False.
