@@ -1560,6 +1560,101 @@ def main_recovery(cycles: int = 3, error_reset_delay: float = 0.5,
     }))
 
 
+def main_streaming(reps_absorb: int = 32, reps_update: int = 6):
+    """Device cost of the streaming (incremental) EVM calibrator
+    (VERDICT r3 #4): ms/frame for ``streaming_absorb`` (the every-frame
+    rolling-pyramid half) and ms for ``streaming_update`` (the full
+    re-localize, paid every ``streaming_interval`` frames), at 640x480 and
+    1080p.  Timed as in-jit scans over per-iteration-distinct frames with
+    a dependent host fetch (BENCHMARKS.md methodology), so the numbers are
+    device compute, not the tunnel's ~26 ms dispatch floor; the amortized
+    per-frame figure at the default interval is what the monitor's
+    streaming-ROI mode adds to its measure step."""
+    import jax
+    import jax.numpy as jnp
+
+    from respmon_tpu.config import MonitorConfig
+    from respmon_tpu.io.synthetic import breathing_clip
+    from respmon_tpu.pipeline import streaming
+
+    _warmup()
+    cfg = MonitorConfig()
+    cal = cfg.calibration
+    interval = cfg.streaming_interval
+    fps_video = 10.0
+    out = {"metric": "streaming_calibrator_device_costs",
+           "unit": "ms (device, in-jit scan amortized)",
+           "interval": interval}
+
+    for name, (h, w) in [("640x480", (480, 640)),
+                         ("1080p", (1080, 1920))]:
+        log(f"--- {name} ---")
+        total = cal.buffer_length + max(reps_absorb, reps_update)
+        clip = breathing_clip(num_frames=total, height=h, width=w,
+                              fps=fps_video, bpm=18.0,
+                              patch_center=(h // 2, w // 2),
+                              patch_size=(h // 6, w // 6), amplitude=0.12,
+                              motion_px=2.0, texture_motion=True,
+                              drift_px=(10.0, 16.0))
+        buf = jnp.asarray(clip[:cal.buffer_length])
+        rest = jnp.asarray(clip[cal.buffer_length:])
+        state = streaming.init_streaming_from_buffer(buf, cal)
+        jax.block_until_ready(state.count)
+
+        @jax.jit
+        def absorb_k(st, frames, eps):
+            def body(s, f):
+                s2 = streaming.streaming_absorb(s, f + eps, cal)
+                return s2, s2.levels[-1][-1, 0, 0]
+            st2, probes = jax.lax.scan(body, st, frames)
+            return st2, jnp.sum(probes)
+
+        @jax.jit
+        def update_k(st, frames, eps):
+            def body(s, f):
+                s2, res = streaming.streaming_update(s, f + eps, fps_video,
+                                                     cal)
+                return s2, (res.found, res.x, res.y)
+            st2, (found, xs, ys) = jax.lax.scan(body, st, frames)
+            return st2, jnp.sum(xs) + jnp.sum(ys) + jnp.sum(found)
+
+        # compile (excluded)
+        zero = jnp.float32(0.0)
+        _, probe = absorb_k(state, rest[:reps_absorb], zero)
+        float(probe)
+        _, probe = update_k(state, rest[:reps_update], zero)
+        float(probe)
+
+        def run_absorb(i):
+            _, probe = absorb_k(state, rest[:reps_absorb],
+                                jnp.float32((i + 1) * 1e-6))
+            return probe
+
+        def run_update(i):
+            _, probe = update_k(state, rest[:reps_update],
+                                jnp.float32((i + 1) * 1e-6))
+            return probe
+
+        absorb_ms = _timed(run_absorb, 3) / reps_absorb * 1e3
+        update_ms = _timed(run_update, 3) / reps_update * 1e3
+        amort_ms = ((interval - 1) * absorb_ms + update_ms) / interval
+        log(f"{name}: absorb {absorb_ms:.2f} ms/frame, update "
+            f"{update_ms:.1f} ms, amortized {amort_ms:.2f} ms/frame "
+            f"at interval {interval} "
+            f"({1e3 / (amort_ms * fps_video):.0f}x real-time at "
+            f"{fps_video:.0f} fps)")
+        key = name.replace("x", "_")
+        out[f"absorb_ms_{key}"] = round(absorb_ms, 2)
+        out[f"update_ms_{key}"] = round(update_ms, 1)
+        out[f"amortized_ms_per_frame_{key}"] = round(amort_ms, 2)
+        out[f"realtime_x_{key}"] = round(1e3 / (amort_ms * fps_video), 1)
+        del clip, buf, rest, state
+
+    out["value"] = out["amortized_ms_per_frame_640_480"]
+    out["vs_baseline"] = out["realtime_x_640_480"]
+    print(json.dumps(out))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--multistream", action="store_true",
@@ -1587,6 +1682,9 @@ def main():
                    help="--fleet-live: frame width")
     p.add_argument("--no-fleet", action="store_true",
                    help="headline: skip the compact 16x720p fleet segment")
+    p.add_argument("--streaming", action="store_true",
+                   help="device cost of the streaming EVM calibrator "
+                        "(absorb/update ms at 640x480 and 1080p)")
     p.add_argument("--recovery", action="store_true",
                    help="soak the calibrate->measure->error->recalibrate "
                         "loop on device with blackout fault injection")
@@ -1596,6 +1694,8 @@ def main():
     _enable_compile_cache()
     if args.recovery:
         main_recovery(cycles=args.cycles)
+    elif args.streaming:
+        main_streaming()
     elif args.breakdown:
         main_fleet_breakdown(args.streams or 64)
     elif args.fleet_live:

@@ -41,6 +41,11 @@ def main(argv=None) -> int:
     p.add_argument("--verbose", action="store_true",
                    help="per-stage EVM timing logs during calibration "
                         "(reference transforms.py verbose=True)")
+    p.add_argument("--uint8-ingest", action="store_true",
+                   help="camera-native uint8 ingest: gray bytes ship to "
+                        "the device untouched (4x less upload) and widen "
+                        "there bit-exactly; results are bit-identical to "
+                        "float ingest")
     args = p.parse_args(argv)
 
     logging.basicConfig(format="%(asctime)s :: %(message)s",
@@ -110,7 +115,8 @@ def main(argv=None) -> int:
         motion_extraction_method=args.method,
         auto_run=False,
         sync_fps=not args.no_sync,
-        verbose_evm=args.verbose)
+        verbose_evm=args.verbose,
+        native_uint8=args.uint8_ingest)
     if args.skip_calibration:
         mon.fps = mon.fps if mon.fps == mon.fps else args.fps_limit
         mon.skip_calibration(*args.skip_calibration)

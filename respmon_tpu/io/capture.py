@@ -32,9 +32,16 @@ class CaptureSource(Protocol):
 class OpenCVCapture:
     """cv2.VideoCapture-backed source (webcam index or file path), with the
     reference's probe semantics: fps==0 -> NaN for downstream detection
-    (base.py:108-110)."""
+    (base.py:108-110).
 
-    def __init__(self, target) -> None:
+    ``native_uint8=True`` returns the gray frame as camera-native uint8
+    instead of the reference's host conversion chain (base.py:230-233) —
+    the monitor then ships bytes to the device (4x less upload/staging)
+    and widens on the exact [0,255] lattice there
+    (``ops/dtype.uint8_to_float``, bit-exact to this host chain), so
+    results are bit-identical to float ingest."""
+
+    def __init__(self, target, native_uint8: bool = False) -> None:
         import cv2
 
         self.target = target
@@ -44,12 +51,17 @@ class OpenCVCapture:
         self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
         self._cv2 = cv2
+        self.native_uint8 = bool(native_uint8)
+        self.frame_dtype = np.dtype(np.uint8 if native_uint8
+                                    else np.float64)
 
     def next_frame(self) -> Optional[np.ndarray]:
         ret, frame = self._cap.read()
         if frame is None or ret is False:
             return None
         gray = self._cv2.cvtColor(frame, self._cv2.COLOR_BGR2GRAY)
+        if self.native_uint8:
+            return gray
         return gray.astype(np.float64) * (1.0 / 255.0)
 
     def is_open(self) -> bool:
@@ -70,6 +82,7 @@ class ArrayCapture:
         self.height = int(frames.shape[1])
         self.width = int(frames.shape[2])
         self.target = target
+        self.frame_dtype = frames.dtype
         self._idx = 0
         self._open = True
 
@@ -87,8 +100,9 @@ class ArrayCapture:
         self._open = False
 
 
-def open_capture(target, fps: float | None = None) -> CaptureSource:
+def open_capture(target, fps: float | None = None,
+                 native_uint8: bool = False) -> CaptureSource:
     """Factory: numpy arrays replay in-memory; ints/paths go through OpenCV."""
     if isinstance(target, np.ndarray):
         return ArrayCapture(target, fps=float("nan") if fps is None else fps)
-    return OpenCVCapture(target)
+    return OpenCVCapture(target, native_uint8=native_uint8)

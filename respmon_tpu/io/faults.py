@@ -47,6 +47,12 @@ class FaultInjector:
         self.fps = source.fps
         self.width = source.width
         self.height = source.height
+        self.frame_dtype = np.dtype(getattr(source, "frame_dtype",
+                                            np.float32))
+        if self.frame_dtype == np.uint8 and any(
+                s.kind == "nan" for s in schedules):
+            raise ValueError("'nan' faults need float frames; uint8 "
+                             "ingest cannot carry NaN (use 'blackout')")
         self._idx = 0
         self._last_good: Optional[np.ndarray] = None
 
@@ -63,7 +69,9 @@ class FaultInjector:
             if s.kind == "blackout":
                 out = np.zeros_like(out)
             elif s.kind == "noise":
-                out = s.rng.random(out.shape).astype(out.dtype)
+                out = (s.rng.integers(0, 256, out.shape, np.uint8)
+                       if out.dtype == np.uint8
+                       else s.rng.random(out.shape).astype(out.dtype))
             elif s.kind == "occlusion":
                 out = out.copy()
                 x, y, w, h = s.rect or (0, 0, out.shape[1], out.shape[0])

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from respmon_tpu.config import CalibrationConfig
 from respmon_tpu.ops import ccl
-from respmon_tpu.ops.dtype import float_to_uint8
+from respmon_tpu.ops.dtype import float_to_uint8, uint8_to_float
 from respmon_tpu.ops.fft_bandpass import temporal_bandpass_fft
 from respmon_tpu.ops.pyramid import (laplacian_pyramid, pyr_up,
                                      pyramid_shapes)
@@ -73,6 +73,8 @@ def init_streaming_from_buffer(buffer: jnp.ndarray,
     ``streaming_update``'s roll+write order)."""
     t = cfg.buffer_length
     buf = buffer[-t:]
+    if buf.dtype == jnp.uint8:   # camera-native ingest (ops/dtype contract)
+        buf = uint8_to_float(buf)
     lap = jax.vmap(
         lambda f: laplacian_pyramid(f, cfg.pyramid_levels))(buf)
     levels = tuple(lap[i] for i in _kept_levels(cfg))
@@ -88,6 +90,8 @@ def streaming_absorb(state: StreamingState, frame: jnp.ndarray,
     contiguous fps-rate window) but only pays the localize half every
     ``streaming_interval`` frames."""
     kept = _kept_levels(cfg)
+    if frame.dtype == jnp.uint8:  # camera-native ingest (ops/dtype contract)
+        frame = uint8_to_float(frame)
     lap = laplacian_pyramid(frame, cfg.pyramid_levels)
     new_levels = []
     for ring, lvl in zip(state.levels, kept):
@@ -108,6 +112,8 @@ def streaming_update(state: StreamingState, frame: jnp.ndarray, fps: float,
     (matching the prototype, which waits for a full deque before filtering,
     locating.py:117-143).
     """
+    if frame.dtype == jnp.uint8:  # camera-native ingest (ops/dtype contract)
+        frame = uint8_to_float(frame)
     h0, w0 = frame.shape
     shapes = pyramid_shapes(h0, w0, cfg.pyramid_levels)
     kept = _kept_levels(cfg)

@@ -45,6 +45,7 @@ from respmon_tpu.config import (CalibrationConfig, MeasureConfig,
 from respmon_tpu.io.capture import (CaptureSource, OpenCVCapture,
                                     open_capture)
 from respmon_tpu.io.recorder import SessionRecorder
+from respmon_tpu.ops import dtype as dtype_ops
 from respmon_tpu.ops import filters
 from respmon_tpu.pipeline import bpm as bpm_mod
 from respmon_tpu.pipeline import evm, motion
@@ -82,7 +83,8 @@ class RespiratoryMonitor:
                  feeder_capacity: int = 4,
                  feeder_latest: Optional[bool] = None,
                  verbose_evm: bool = False,
-                 streaming_roi: Optional[bool] = None):
+                 streaming_roi: Optional[bool] = None,
+                 native_uint8: bool = False):
         cfg = config or MonitorConfig()
         cfg = MonitorConfig(
             fps_limit=fps_limit, error_reset_delay=error_reset_delay,
@@ -112,10 +114,17 @@ class RespiratoryMonitor:
         # Capture (probe fps/size like base.py:46-51).
         self.capture_target = capture_target
         self.cap = capture if capture is not None \
-            else open_capture(capture_target)
+            else open_capture(capture_target, native_uint8=native_uint8)
         self.fps = self.cap.fps
         self.width = self.cap.width
         self.height = self.cap.height
+        # Camera-native uint8 ingest: when the capture yields uint8 gray
+        # frames, everything stays bytes host-side (4x less ring memory and
+        # H2D payload) and widens ON DEVICE via the bit-exact
+        # ops/dtype.uint8_to_float — results are bit-identical to float
+        # ingest (tests/test_u8_ingest.py).
+        self.ingest_uint8 = np.dtype(getattr(
+            self.cap, "frame_dtype", np.float32)) == np.uint8
 
         # Double-buffered host→HBM feed (SURVEY §7.6): a capture thread
         # decodes into the native SPSC ring so the blocking read the
@@ -153,7 +162,8 @@ class RespiratoryMonitor:
         cal = cfg.calibration
         self.calibration_buffer_target_length = cal.buffer_length
         self.calibration_buffer = np.zeros(
-            (cal.buffer_length, self.height, self.width), dtype=np.float32)
+            (cal.buffer_length, self.height, self.width),
+            dtype=np.uint8 if self.ingest_uint8 else np.float32)
         self.calibration_buffer_idx = 0
 
         # Observable buffers mirroring the reference's deques
@@ -278,7 +288,9 @@ class RespiratoryMonitor:
             # while decoding still overlaps the device step.
             self._feeder = FrameFeeder(
                 self.cap, capacity=self.feeder_capacity,
-                lossless=not self.feeder_latest).start()
+                lossless=not self.feeder_latest,
+                dtype=np.uint8 if self.ingest_uint8
+                else np.float32).start()
         frame, _seq = self._feeder.next_frame(latest=self.feeder_latest)
         dropped = self._feeder.dropped
         if dropped > self.frames_dropped:
@@ -372,7 +384,8 @@ class RespiratoryMonitor:
         self.benchmarker.tick_start("Calibration Measurement")
         locate_fn = evm.locate_verbose if self.verbose_evm else evm.locate
         result = locate_fn(
-            jnp.asarray(self.calibration_buffer, self.compute_dtype),
+            dtype_ops.ingest_frames(self.calibration_buffer,
+                                    self.compute_dtype),
             float(self.fps), self.config.calibration)
         jax.block_until_ready(result.found)
         self.benchmarker.tick_end("Calibration Measurement")
@@ -401,7 +414,8 @@ class RespiratoryMonitor:
             # buffer so re-locking can begin immediately (one batched
             # program; see streaming.init_streaming_from_buffer).
             self._streaming_state = streaming.init_streaming_from_buffer(
-                jnp.asarray(self.calibration_buffer, self.compute_dtype),
+                dtype_ops.ingest_frames(self.calibration_buffer,
+                                        self.compute_dtype),
                 self.config.calibration)
             self._streaming_tick = 0
         self.state = "measure"
@@ -429,7 +443,7 @@ class RespiratoryMonitor:
             if len(b) >= self.config.measure.buffer_length:
                 b.popleft()
 
-        frame_dev = jnp.asarray(frame, self.compute_dtype)
+        frame_dev = dtype_ops.ingest_frames(frame, self.compute_dtype)
         new_state, sample, bpm_res = _measure_and_estimate(
             self._measure_state, frame_dev, spec, self._lowpass,
             max(self.peak_minimum_sample_distance, 1), self.config.measure)
@@ -441,16 +455,24 @@ class RespiratoryMonitor:
         self.t.append(0.0 if len(self.t) == 0
                       else self.t[-1] + 1.0 / self.fps)
 
-        # Host mirrors for the UI / API surface.
-        self.cropped_image = np.asarray(
-            frame[self.y:self.y + self.h, self.x:self.x + self.w])
+        # Host mirrors for the UI / API surface.  uint8 ingest converts the
+        # host crop via the reference chain (base.py:230-233) so the
+        # observable ``cropped_image`` stays float [0, 1] in either mode.
+        crop_host = frame[self.y:self.y + self.h, self.x:self.x + self.w]
+        self.cropped_image = (
+            np.asarray(crop_host, np.float64) * (1.0 / 255.0)
+            if self.ingest_uint8 else np.asarray(crop_host))
         if self.config.motion_extraction_method == "flow":
             pts = np.asarray(new_state.pts)[np.asarray(new_state.pts_valid)]
             self.motion_key_points = pts.reshape(-1, 1, 2)
 
         if self.config.save_all_data:
-            crop_u8 = np.clip(np.trunc(self.cropped_image * 255.0),
-                              0, 255).astype(np.uint8)
+            # uint8 ingest records the ORIGINAL camera bytes (strictly more
+            # faithful than the float round-trip, which can lose 1 code on
+            # bytes whose f->u8 trunc lands just below the integer).
+            crop_u8 = np.asarray(crop_host) if self.ingest_uint8 else \
+                np.clip(np.trunc(self.cropped_image * 255.0),
+                        0, 255).astype(np.uint8)
             self._recorder.write(crop_u8, self.t[-1], sample_val)
             self.all_data.append((self.t[-1], sample_val))
 
@@ -543,7 +565,11 @@ class RespiratoryMonitor:
                     "Capturing calibration frames... {0}/{1}".format(
                         self.calibration_buffer_idx,
                         self.calibration_buffer_target_length))
-                self.display_frame = self.current_frame
+                # uint8 ingest: display in the float [0, 1] convention the
+                # UI expects in every mode.
+                self.display_frame = (
+                    self.current_frame.astype(np.float64) * (1.0 / 255.0)
+                    if self.ingest_uint8 else self.current_frame)
                 ui.set_image(self.display_frame)
             else:
                 ui.set_window_title("Measuring...")
@@ -594,9 +620,10 @@ class RespiratoryMonitor:
         import os
 
         logger.info("Creating calibration image.")
-        total_avg = np.clip(
-            np.trunc(self.calibration_buffer.mean(axis=0) * 255.0),
-            0, 255).astype(np.uint8)
+        mean_frame = self.calibration_buffer.mean(axis=0)
+        if not self.ingest_uint8:
+            mean_frame = mean_frame * 255.0   # float buffers live in [0, 1]
+        total_avg = np.clip(np.trunc(mean_frame), 0, 255).astype(np.uint8)
         heat = np.asarray(result.heatmap_u8)
         raw_heat = np.asarray(result.raw_heat_u8)
         thresh = np.asarray(result.thresh)

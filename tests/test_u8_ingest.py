@@ -198,3 +198,39 @@ def test_ingest_frames_contract():
     # not a silent downgrade.
     with pytest.raises(ValueError):
         ingest_frames(u8, jnp.float64)
+
+
+def test_monitor_u8_capture_bit_equals_float_monitor(clips):
+    """Full RespiratoryMonitor on a camera-native uint8 ArrayCapture vs the
+    float-converted capture of the SAME bytes: the u8 path crops bytes and
+    widens on the exact lattice, so every observable — ROI, per-frame
+    motion samples, BPM trace — must be bit-identical (the monitor-level
+    closure of the locate/process_clip parity above)."""
+    from respmon_tpu.config import MonitorConfig as MC
+    from respmon_tpu.io.capture import ArrayCapture
+    from respmon_tpu.runtime import RespiratoryMonitor
+
+    clip_u8, clip_f = clips
+    cfg = MC(motion_extraction_method="flow", calibration=CAL)
+
+    def run(frames):
+        mon = RespiratoryMonitor(
+            capture_target="u8-parity", save_all_data=False, visualize=None,
+            motion_extraction_method="flow", config=cfg,
+            capture=ArrayCapture(frames, fps=FPS), auto_run=False,
+            sync_fps=False)
+        mon.run()
+        return mon
+
+    m_u8 = run(clip_u8)
+    m_f = run(clip_f)
+    assert m_u8.ingest_uint8 and not m_f.ingest_uint8
+    assert m_u8.calibration_buffer.dtype == np.uint8
+    assert (m_u8.x, m_u8.y, m_u8.w, m_u8.h) == (m_f.x, m_f.y, m_f.w, m_f.h)
+    assert np.array_equal(np.asarray(m_u8.data), np.asarray(m_f.data),
+                          equal_nan=True)
+    assert list(m_u8.freq) == list(m_f.freq)
+    assert abs(m_u8.freq[-1] - 18.0) <= 1.0
+    # Observable host mirrors keep the float [0, 1] convention.
+    assert m_u8.cropped_image.dtype == np.float64
+    assert float(m_u8.cropped_image.max()) <= 1.0
