@@ -129,6 +129,12 @@ class _LevelPatches(NamedTuple):
     # _window_onehot3).  The whole-clip scan uses onehot: at 100 points x
     # 3 levels the per-point slice gathers dominated the scan step.
     prev_mode: str = "slices"
+    # Run the onehot next-window contractions as single-pass bf16 MXU dots
+    # (vs 6-pass f32 HIGHEST) — bit-identical ONLY when the level's pixels
+    # are exactly bf16-representable, i.e. the uint8-lattice integers of
+    # level 0 (see _window_onehot).  Static: level 0 of integer-scale
+    # images only.
+    bf16_exact: bool = False
 
 
 def _patch_matrix(img_pad: jnp.ndarray, win: int,
@@ -230,7 +236,7 @@ def _window_slices1(img_pad: jnp.ndarray, pad: int, by, bx, fy, fx,
 
 
 def _window_onehot(img_pad: jnp.ndarray, pad: int, by, bx, fy, fx,
-                   win: int) -> jnp.ndarray:
+                   win: int, bf16_exact: bool = False) -> jnp.ndarray:
     """Bilinear (N, win*win) windows via one-hot MXU extraction.
 
     Builds (N, win+1, Hp) / (N, win+1, Wp) one-hot selectors from the
@@ -241,19 +247,40 @@ def _window_onehot(img_pad: jnp.ndarray, pad: int, by, bx, fy, fx,
     then the same ``_bilin_win`` weight/add order).  Unlike dynamic slices
     (latency-bound, ~6x slower at fleet scale) or im2col row-takes (which
     need a multi-GB prebuilt matrix), this rides the MXU with no
-    workspace."""
+    workspace.
+
+    ``bf16_exact``: run both contractions as SINGLE-pass bf16 MXU dots
+    instead of 6-pass f32 HIGHEST.  Still bit-identical — but only when
+    every pixel of ``img_pad`` is exactly bf16-representable: one-hot rows
+    are exact 0/1 in bf16, the MXU accumulates in f32, and a dot whose only
+    nonzero product is ``1.0 * pixel`` returns that pixel exactly; the
+    intermediate row extract holds those same pixels, so rounding it to
+    bf16 is again exact.  True for pyramid level 0 of uint8-scale inputs
+    (integers 0..255 need 8 mantissa bits; reflect-101 padding reflects
+    those same integers) — NOT for downsampled levels, whose pyrDown
+    outputs are general dyadic fractions.  This is the fleet Newton loop's
+    dominant matmul; one pass vs six is ~3x on the whole iteration."""
     s = win + 1
     hp, wp = img_pad.shape
     ky = (by + pad)[:, None] + jnp.arange(s)[None, :]          # (N, s)
     kx = (bx + pad)[:, None] + jnp.arange(s)[None, :]
-    sely = (ky[:, :, None] == jnp.arange(hp)[None, None, :]).astype(
-        img_pad.dtype)                                          # (N, s, Hp)
-    selx = (kx[:, :, None] == jnp.arange(wp)[None, None, :]).astype(
-        img_pad.dtype)                                          # (N, s, Wp)
-    t = jnp.einsum("nsh,hw->nsw", sely, img_pad,
-                   precision=jax.lax.Precision.HIGHEST)
-    grid = jnp.einsum("nsw,nqw->nsq", t, selx,
-                      precision=jax.lax.Precision.HIGHEST)      # (N, s, s)
+    if bf16_exact:
+        bt = jnp.bfloat16
+        sely = (ky[:, :, None] == jnp.arange(hp)[None, None, :]).astype(bt)
+        selx = (kx[:, :, None] == jnp.arange(wp)[None, None, :]).astype(bt)
+        t = jnp.einsum("nsh,hw->nsw", sely, img_pad.astype(bt),
+                       preferred_element_type=bt)     # exact u8 integers
+        grid = jnp.einsum("nsw,nqw->nsq", t, selx,
+                          preferred_element_type=img_pad.dtype)  # (N, s, s)
+    else:
+        sely = (ky[:, :, None] == jnp.arange(hp)[None, None, :]).astype(
+            img_pad.dtype)                                      # (N, s, Hp)
+        selx = (kx[:, :, None] == jnp.arange(wp)[None, None, :]).astype(
+            img_pad.dtype)                                      # (N, s, Wp)
+        t = jnp.einsum("nsh,hw->nsw", sely, img_pad,
+                       precision=jax.lax.Precision.HIGHEST)
+        grid = jnp.einsum("nsw,nqw->nsq", t, selx,
+                          precision=jax.lax.Precision.HIGHEST)  # (N, s, s)
     out = _bilin_win(grid, fy, fx, win)
     return out.reshape(grid.shape[0], win * win)
 
@@ -349,7 +376,8 @@ def _track_level(lp: _LevelPatches, prev_pts, next_pts, status, level, win,
             # same pixels and are bit-identical.
             jbyc = jnp.clip(jby, -pad, h - 1)
             jbxc = jnp.clip(jbx, -pad, w - 1)
-            jw = _window_onehot(lp.next, pad, jbyc, jbxc, jfy, jfx, win)
+            jw = _window_onehot(lp.next, pad, jbyc, jbxc, jfy, jfx, win,
+                                bf16_exact=lp.bf16_exact)
         else:
             jw = _window_rows(lp.next, lp.wprime, pad, jby, jbx, jfy,
                               jfx, win)
@@ -475,13 +503,20 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
                          max_iters: int = 10, eps: float = 0.03,
                          min_eig_thresh: float = 1e-4,
                          sample: str = "patches",
-                         prev_sample: str = "slices") -> FlowResult:
+                         prev_sample: str = "slices",
+                         level0_bf16: bool = True) -> FlowResult:
     """LK tracking from precomputed frame inputs (see LKFrameInputs).
 
     ``shapes``/``wprimes`` come from ``level_geometry`` (static);
     ``sample`` picks the next-window mode and ``prev_sample`` the
     prev-window mode (see _LevelPatches) — all modes are bit-identical;
-    they differ only in gather strategy/memory."""
+    they differ only in gather strategy/memory.
+
+    ``level0_bf16`` (onehot mode only): extract level-0 next windows with
+    single-pass bf16 MXU dots — bit-identical as long as the input images
+    honor this module's documented uint8-[0,255]-scale contract (level-0
+    pixels are then integers, exact in bf16; see _window_onehot).  Set
+    False for callers feeding non-integer-scale floats."""
     dtype = prev.stacks[0].dtype
     eps2 = jnp.asarray(min(max(eps, 0.0), 10.0) ** 2, dtype)
 
@@ -494,7 +529,9 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
                                  if sample in ("slices", "onehot")
                                  else nxt.patches[level]),
                            wprime=wprimes[level], hw=shapes[level],
-                           mode=sample, prev_mode=prev_sample)
+                           mode=sample, prev_mode=prev_sample,
+                           bf16_exact=(level0_bf16 and level == 0
+                                       and sample == "onehot"))
         prev_pts = pts / (2.0 ** level)
         next_pts = next_pts * 2.0
         next_pts, status = _track_level(
@@ -506,13 +543,15 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
 
 
 @partial(jax.jit, static_argnames=("win", "max_level", "max_iters", "eps",
-                                   "min_eig_thresh", "sample"))
+                                   "min_eig_thresh", "sample",
+                                   "level0_bf16"))
 def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
                              pts: jnp.ndarray, valid: jnp.ndarray,
                              win: int = 15, max_level: int = 2,
                              max_iters: int = 10, eps: float = 0.03,
                              min_eig_thresh: float = 1e-4,
-                             sample: str = "slices") -> FlowResult:
+                             sample: str = "slices",
+                             level0_bf16: bool = True) -> FlowResult:
     """Track masked points from prev_img to next_img ((H, W), [0,255] scale).
 
     Returns tracked positions and per-point status; invalid inputs stay
@@ -548,4 +587,5 @@ def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
         patch_dtype=jnp.bfloat16 if sample == "patches16" else None)
     return lk_track_precomputed(prev, nxt, pts, valid, tuple(shapes),
                                 tuple(wprimes), win, max_level, max_iters,
-                                eps, min_eig_thresh, sample=sample)
+                                eps, min_eig_thresh, sample=sample,
+                                level0_bf16=level0_bf16)
