@@ -129,12 +129,11 @@ class _LevelPatches(NamedTuple):
     # _window_onehot3).  The whole-clip scan uses onehot: at 100 points x
     # 3 levels the per-point slice gathers dominated the scan step.
     prev_mode: str = "slices"
-    # Run the onehot next-window contractions as single-pass bf16 MXU dots
-    # (vs 6-pass f32 HIGHEST) — bit-identical ONLY when the level's pixels
-    # are exactly bf16-representable, i.e. the uint8-lattice integers of
-    # level 0 (see _window_onehot).  Static: level 0 of integer-scale
-    # images only.
-    bf16_exact: bool = False
+    # Number of exact bf16 split terms for the onehot next-window
+    # contractions (0 = f32 HIGHEST).  Level L of a uint8-scale pyramid
+    # needs L+1 terms; 3 terms reassemble ANY f32 exactly (bf16x3), so
+    # min(level+1, 3) is always bit-identical (see _window_onehot).
+    bf16_exact: int = 0
 
 
 def _patch_matrix(img_pad: jnp.ndarray, win: int,
@@ -236,7 +235,7 @@ def _window_slices1(img_pad: jnp.ndarray, pad: int, by, bx, fy, fx,
 
 
 def _window_onehot(img_pad: jnp.ndarray, pad: int, by, bx, fy, fx,
-                   win: int, bf16_exact: bool = False) -> jnp.ndarray:
+                   win: int, bf16_exact: int = 0) -> jnp.ndarray:
     """Bilinear (N, win*win) windows via one-hot MXU extraction.
 
     Builds (N, win+1, Hp) / (N, win+1, Wp) one-hot selectors from the
@@ -249,29 +248,46 @@ def _window_onehot(img_pad: jnp.ndarray, pad: int, by, bx, fy, fx,
     need a multi-GB prebuilt matrix), this rides the MXU with no
     workspace.
 
-    ``bf16_exact``: run both contractions as SINGLE-pass bf16 MXU dots
-    instead of 6-pass f32 HIGHEST.  Still bit-identical — but only when
-    every pixel of ``img_pad`` is exactly bf16-representable: one-hot rows
-    are exact 0/1 in bf16, the MXU accumulates in f32, and a dot whose only
-    nonzero product is ``1.0 * pixel`` returns that pixel exactly; the
-    intermediate row extract holds those same pixels, so rounding it to
-    bf16 is again exact.  True for pyramid level 0 of uint8-scale inputs
-    (integers 0..255 need 8 mantissa bits; reflect-101 padding reflects
-    those same integers) — NOT for downsampled levels, whose pyrDown
-    outputs are general dyadic fractions.  This is the fleet Newton loop's
-    dominant matmul; one pass vs six is ~3x on the whole iteration."""
+    ``bf16_exact``: number of bf16 TERMS (0 = off) — run the contractions
+    as single-pass bf16 MXU dots instead of 6-pass f32 HIGHEST, splitting
+    the image into ``bf16_exact`` exact bf16 addends first.  Still
+    bit-identical when every pixel's mantissa fits ``8 * bf16_exact``
+    bits: one-hot rows are exact 0/1 in bf16, the MXU accumulates in f32,
+    a dot whose only nonzero product is ``1.0 * term`` returns that term
+    exactly, and the Dekker-style split ``hi = bf16(x); lo = x - hi``
+    peels exactly 8 mantissa bits per term, so the per-term row extracts
+    hold bf16-exact values and their f32 sum reassembles the exact pixel.
+    Pyramid level L of a uint8-scale input needs L+1 terms: level-0 pixels
+    are integers 0..255 (8 bits; reflect-101 padding reflects those same
+    integers), and each OpenCV pyrDown divides by 16 per separable pass,
+    so level-L pixels are dyadics m / 2^(8L) with m < 2^24 — exact at
+    every intermediate f32 step, mantissa width 8(L+1).  This is the
+    fleet Newton loop's dominant matmul; one bf16 pass per term vs six
+    HIGHEST passes per einsum is ~3x on the whole iteration at level 0
+    and still ~2x at level 2."""
     s = win + 1
     hp, wp = img_pad.shape
     ky = (by + pad)[:, None] + jnp.arange(s)[None, :]          # (N, s)
     kx = (bx + pad)[:, None] + jnp.arange(s)[None, :]
     if bf16_exact:
         bt = jnp.bfloat16
+        f32 = img_pad.dtype
         sely = (ky[:, :, None] == jnp.arange(hp)[None, None, :]).astype(bt)
         selx = (kx[:, :, None] == jnp.arange(wp)[None, None, :]).astype(bt)
-        t = jnp.einsum("nsh,hw->nsw", sely, img_pad.astype(bt),
-                       preferred_element_type=bt)     # exact u8 integers
-        grid = jnp.einsum("nsw,nqw->nsq", t, selx,
-                          preferred_element_type=img_pad.dtype)  # (N, s, s)
+        terms = []
+        rem = img_pad
+        for _ in range(bf16_exact - 1):
+            h16 = rem.astype(bt)
+            terms.append(h16)
+            rem = rem - h16.astype(f32)
+        terms.append(rem.astype(bt))
+        grid = None
+        for term in terms:
+            t = jnp.einsum("nsh,hw->nsw", sely, term,
+                           preferred_element_type=bt)  # exact term values
+            g = jnp.einsum("nsw,nqw->nsq", t, selx,
+                           preferred_element_type=f32)  # (N, s, s)
+            grid = g if grid is None else grid + g
     else:
         sely = (ky[:, :, None] == jnp.arange(hp)[None, None, :]).astype(
             img_pad.dtype)                                      # (N, s, Hp)
@@ -504,7 +520,7 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
                          min_eig_thresh: float = 1e-4,
                          sample: str = "patches",
                          prev_sample: str = "slices",
-                         level0_bf16: bool = True) -> FlowResult:
+                         bf16_split: bool = True) -> FlowResult:
     """LK tracking from precomputed frame inputs (see LKFrameInputs).
 
     ``shapes``/``wprimes`` come from ``level_geometry`` (static);
@@ -512,11 +528,13 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
     prev-window mode (see _LevelPatches) — all modes are bit-identical;
     they differ only in gather strategy/memory.
 
-    ``level0_bf16`` (onehot mode only): extract level-0 next windows with
-    single-pass bf16 MXU dots — bit-identical as long as the input images
-    honor this module's documented uint8-[0,255]-scale contract (level-0
-    pixels are then integers, exact in bf16; see _window_onehot).  Set
-    False for callers feeding non-integer-scale floats."""
+    ``bf16_split`` (onehot mode only): extract next windows with exact
+    multi-term bf16 MXU dots instead of 6-pass f32 HIGHEST — level L uses
+    min(L+1, 3) terms, bit-identical as long as the input images honor
+    this module's documented uint8-[0,255]-scale contract (levels 0-1;
+    the 3-term split at level 2+ reassembles ANY f32 exactly, so it holds
+    unconditionally; see _window_onehot).  Set False for callers feeding
+    non-integer-scale floats."""
     dtype = prev.stacks[0].dtype
     eps2 = jnp.asarray(min(max(eps, 0.0), 10.0) ** 2, dtype)
 
@@ -530,8 +548,9 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
                                  else nxt.patches[level]),
                            wprime=wprimes[level], hw=shapes[level],
                            mode=sample, prev_mode=prev_sample,
-                           bf16_exact=(level0_bf16 and level == 0
-                                       and sample == "onehot"))
+                           bf16_exact=(min(level + 1, 3)
+                                       if bf16_split and sample == "onehot"
+                                       else 0))
         prev_pts = pts / (2.0 ** level)
         next_pts = next_pts * 2.0
         next_pts, status = _track_level(
@@ -544,14 +563,14 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
 
 @partial(jax.jit, static_argnames=("win", "max_level", "max_iters", "eps",
                                    "min_eig_thresh", "sample",
-                                   "level0_bf16"))
+                                   "bf16_split"))
 def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
                              pts: jnp.ndarray, valid: jnp.ndarray,
                              win: int = 15, max_level: int = 2,
                              max_iters: int = 10, eps: float = 0.03,
                              min_eig_thresh: float = 1e-4,
                              sample: str = "slices",
-                             level0_bf16: bool = True) -> FlowResult:
+                             bf16_split: bool = True) -> FlowResult:
     """Track masked points from prev_img to next_img ((H, W), [0,255] scale).
 
     Returns tracked positions and per-point status; invalid inputs stay
@@ -588,4 +607,4 @@ def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
     return lk_track_precomputed(prev, nxt, pts, valid, tuple(shapes),
                                 tuple(wprimes), win, max_level, max_iters,
                                 eps, min_eig_thresh, sample=sample,
-                                level0_bf16=level0_bf16)
+                                bf16_split=bf16_split)
