@@ -105,14 +105,17 @@ class _LevelPatches(NamedTuple):
       (f32 upcast after the gather) — halves the footprint/traffic that
       OOMs f32 at fleet scale; the former fleet throughput mode.
     - ``"onehot"``: ``next`` is the padded (Hp, Wp) image; each iteration
-      extracts every point's (win+1)^2 support grid with TWO one-hot MXU
-      matmuls (``SelY @ img @ SelX^T`` at ``Precision.HIGHEST`` — each dot
-      row has exactly ONE nonzero, so the product is the exact f32 pixel,
-      bit-identical to a dynamic slice).  Measured at 64-stream fleet
-      geometry: ~1.5 ms/Newton-iteration vs ~0.9 for a prebuilt row-take
-      and ~8.5 for per-point dynamic slices — but with ZERO build cost
-      (patches16 pays ~21 ms + 2.5 GB HBM per fleet step for its matrix),
-      making it the fleet throughput mode.
+      extracts every point's (win+1)^2 support grid with one-hot MXU
+      matmuls (``SelY @ img @ SelX^T`` — each dot row has exactly ONE
+      nonzero, so the product is the exact pixel, bit-identical to a
+      dynamic slice; run as exact multi-term bf16 passes where the
+      level's pixel mantissas allow, else ``Precision.HIGHEST`` — see
+      ``_window_onehot``).  Measured at 64-stream fleet geometry:
+      ~1.5 ms/Newton-iteration at HIGHEST, ~1 ms with the bf16 split,
+      vs ~0.9 for a prebuilt row-take and ~8.5 for per-point dynamic
+      slices — with ZERO build cost (patches16 pays ~21 ms + 2.5 GB HBM
+      per fleet step for its matrix), making it the fleet throughput
+      mode.
 
     prev/dx/dy windows are sampled once per level via padded dynamic slices
     in every mode (cheaper than building three more patch matrices)."""
@@ -583,9 +586,10 @@ def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
     - ``"slices"`` (default): per-point dynamic slices.  O(points) memory,
       bit-identical to patches mode (same pixels, same FP order), but TPU
       2D window gathers cost ~11 ms/Newton-iteration at fleet scale.
-    - ``"onehot"``: one-hot MXU window extraction (see _window_onehot).
-      Bit-identical to slices, O(points) memory, ~1.5 ms/iteration at
-      fleet scale with zero build cost — the fleet's throughput mode.
+    - ``"onehot"``: one-hot MXU window extraction (see _window_onehot;
+      exact multi-term bf16 split per level).  Bit-identical to slices,
+      O(points) memory, ~1 ms/iteration at fleet scale with zero build
+      cost — the fleet's throughput mode.
     - ``"patches16"``: bf16 im2col patch matrix + f32 upcast after the
       row gather.  ~0.3 ms/iteration (one fast-layout row-take) but ~21 ms
       + 2.5 GB HBM to build per fleet step; pixels round to bf16 on
