@@ -137,6 +137,10 @@ class _LevelPatches(NamedTuple):
     # needs L+1 terms; 3 terms reassemble ANY f32 exactly (bf16x3), so
     # min(level+1, 3) is always bit-identical (see _window_onehot).
     bf16_exact: int = 0
+    # Same for the prev-window (image+dx+dy) onehot extraction: the
+    # Scharr channels need one more term than the image, so min(L+2, 3)
+    # (see _window_onehot3).
+    prev_bf16: int = 0
 
 
 def _patch_matrix(img_pad: jnp.ndarray, win: int,
@@ -185,16 +189,31 @@ def _window_slices3(stack: jnp.ndarray, pad: int, by, bx, fy, fx,
 
 
 def _window_onehot3(stack: jnp.ndarray, pad: int, by, bx, fy, fx,
-                    win: int):
+                    win: int, bf16_exact: int = 0):
     """Three (N, win*win) bilinear windows (image, dx, dy) via one-hot MXU
     extraction of the (3, Hp, Wp) channel stack — the zero-workspace
     alternative to ``_window_slices3``: per-point 2D dynamic-slice gathers
     are latency-bound on TPU and dominate the whole-clip scan step, while
     the one-hot contraction rides the MXU.  Bases are clamped exactly as
     ``dynamic_slice`` clamps its start, and each selector row has exactly
-    one nonzero, so at ``Precision.HIGHEST`` the extracted grid holds the
-    exact f32 pixels — bit-identical to ``_window_slices3`` (same pixels,
-    same bilinear weight/add order)."""
+    one nonzero, so the extracted grid holds the exact f32 pixels and the
+    bilinear combine is the same expression as ``_window_slices3`` —
+    NOTE, however, that bit-level equality with the slice path is NOT
+    guaranteed: XLA fuses the elementwise bilinear differently downstream
+    of a matmul than of a per-point gather, which was measured to move
+    results by 1 ulp.  Callers that advertise bit-parity with the slice
+    path (the live fleet modes) must keep prev sampling on slices; the
+    whole-clip scan uses this consistently in both of ITS compared paths.
+
+    ``bf16_exact``: number of exact bf16 split terms (0 = f32 HIGHEST;
+    any split count is bitwise-equal to the HIGHEST path — both extract
+    exact pixels into the same bilinear expression — verified L0-L2) —
+    the same Dekker-peel trick as ``_window_onehot``, applied to all
+    three channels.  At pyramid level L of a uint8-scale input the image
+    needs L+1 terms and the x32-scaled Scharr derivatives (dyadics
+    q/2^(8L+5), |q| < 2^(8L+13)) need L+2, so callers pass
+    ``min(L+2, 3)`` — and 3 terms reassemble ANY f32 exactly, covering
+    every level unconditionally."""
     s = win + 1
     _, hp, wp = stack.shape
     byc = jnp.clip(by + pad, 0, hp - s)
@@ -202,12 +221,33 @@ def _window_onehot3(stack: jnp.ndarray, pad: int, by, bx, fy, fx,
     ky = byc[:, None] + jnp.arange(s)[None, :]
     kx = bxc[:, None] + jnp.arange(s)[None, :]
     dtype = stack.dtype
-    sely = (ky[:, :, None] == jnp.arange(hp)[None, None, :]).astype(dtype)
-    selx = (kx[:, :, None] == jnp.arange(wp)[None, None, :]).astype(dtype)
-    tmp = jnp.einsum("nsh,chw->ncsw", sely, stack,
-                     precision=jax.lax.Precision.HIGHEST)
-    grid = jnp.einsum("ncsw,nqw->ncsq", tmp, selx,
-                      precision=jax.lax.Precision.HIGHEST)   # (N, 3, s, s)
+    if bf16_exact:
+        bt = jnp.bfloat16
+        sely = (ky[:, :, None] == jnp.arange(hp)[None, None, :]).astype(bt)
+        selx = (kx[:, :, None] == jnp.arange(wp)[None, None, :]).astype(bt)
+        terms = []
+        rem = stack
+        for _ in range(bf16_exact - 1):
+            h16 = rem.astype(bt)
+            terms.append(h16)
+            rem = rem - h16.astype(dtype)
+        terms.append(rem.astype(bt))
+        grid = None
+        for term in terms:
+            tmp = jnp.einsum("nsh,chw->ncsw", sely, term,
+                             preferred_element_type=bt)  # exact term vals
+            g = jnp.einsum("ncsw,nqw->ncsq", tmp, selx,
+                           preferred_element_type=dtype)
+            grid = g if grid is None else grid + g       # (N, 3, s, s)
+    else:
+        sely = (ky[:, :, None] == jnp.arange(hp)[None, None, :]).astype(
+            dtype)
+        selx = (kx[:, :, None] == jnp.arange(wp)[None, None, :]).astype(
+            dtype)
+        tmp = jnp.einsum("nsh,chw->ncsw", sely, stack,
+                         precision=jax.lax.Precision.HIGHEST)
+        grid = jnp.einsum("ncsw,nqw->ncsq", tmp, selx,
+                          precision=jax.lax.Precision.HIGHEST)  # (N,3,s,s)
     fy1 = fy[:, None, None, None]
     fx1 = fx[:, None, None, None]
     out = (grid[:, :, :-1, :-1] * (1 - fy1) * (1 - fx1)
@@ -357,7 +397,7 @@ def _track_level(lp: _LevelPatches, prev_pts, next_pts, status, level, win,
 
     if lp.prev_mode == "onehot":
         iw, ixw, iyw = _window_onehot3(lp.prev_stack, pad, by, bx, fy, fx,
-                                       win)
+                                       win, bf16_exact=lp.prev_bf16)
     else:
         iw, ixw, iyw = _window_slices3(lp.prev_stack, pad, by, bx, fy, fx,
                                        win)
@@ -553,7 +593,11 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
                            mode=sample, prev_mode=prev_sample,
                            bf16_exact=(min(level + 1, 3)
                                        if bf16_split and sample == "onehot"
-                                       else 0))
+                                       else 0),
+                           prev_bf16=(min(level + 2, 3)
+                                      if bf16_split
+                                      and prev_sample == "onehot"
+                                      else 0))
         prev_pts = pts / (2.0 ** level)
         next_pts = next_pts * 2.0
         next_pts, status = _track_level(
@@ -566,13 +610,14 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
 
 @partial(jax.jit, static_argnames=("win", "max_level", "max_iters", "eps",
                                    "min_eig_thresh", "sample",
-                                   "bf16_split"))
+                                   "prev_sample", "bf16_split"))
 def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
                              pts: jnp.ndarray, valid: jnp.ndarray,
                              win: int = 15, max_level: int = 2,
                              max_iters: int = 10, eps: float = 0.03,
                              min_eig_thresh: float = 1e-4,
                              sample: str = "slices",
+                             prev_sample: str = "slices",
                              bf16_split: bool = True) -> FlowResult:
     """Track masked points from prev_img to next_img ((H, W), [0,255] scale).
 
@@ -611,4 +656,5 @@ def calc_optical_flow_pyr_lk(prev_img: jnp.ndarray, next_img: jnp.ndarray,
     return lk_track_precomputed(prev, nxt, pts, valid, tuple(shapes),
                                 tuple(wprimes), win, max_level, max_iters,
                                 eps, min_eig_thresh, sample=sample,
+                                prev_sample=prev_sample,
                                 bf16_split=bf16_split)

@@ -308,6 +308,11 @@ def _flow_motion(state: MeasureState, crop, mask, spec: MeasureSpec,
             win=spec.lk.win_size[0], max_level=spec.lk.max_level,
             max_iters=spec.lk.max_iters, eps=spec.lk.epsilon,
             sample=spec.lk_sample)
+        # prev windows stay on per-point slices here: onehot3 prev
+        # extraction is NOT bit-identical to the slice path (1-ulp
+        # bilinear rounding under different XLA fusion — see
+        # _window_onehot3), and the live fleet mode advertises bit-parity
+        # with the exact-slices mode (tests/test_parallel.py).
         sample, good, motion_xy, motion_count, lost = flow_update(
             fr, state.pts, state.pts_valid, state.motion_xy,
             state.motion_count, spec.buffer_length, crop.dtype)
