@@ -402,7 +402,8 @@ def _fleet_segment(streams: int = 16, H: int = 720, W: int = 1280,
         t=jnp.broadcast_to(jnp.asarray(t_axis), (streams, n_ring)),
         count=jnp.full((streams,), n_ring, jnp.int32),
         motion_count=jnp.full((streams,), n_ring, jnp.int32))
-    np.asarray(run_step(0))
+    np.asarray(run_step(0))   # compiles the LK-cache rebuild variant
+    np.asarray(run_step(1))   # settle onto the cached steady-state program
     t_step = _timed(run_step, 8)
     sfps = streams / t_step
     margin = (1.0 / fps_video) / t_step
@@ -614,7 +615,8 @@ def main_multistream(streams: int = 64):
         t=jnp.broadcast_to(jnp.asarray(t_axis), (streams, n_ring)),
         count=jnp.full((streams,), n_ring, jnp.int32),
         motion_count=jnp.full((streams,), n_ring, jnp.int32))
-    np.asarray(run_step(0))
+    np.asarray(run_step(0))   # compiles the LK-cache rebuild variant
+    np.asarray(run_step(1))   # settle onto the cached steady-state program
     # _timed fetches only the LAST result: consecutive steps chain on the
     # device state, so dispatch i+1 overlaps execution i — the production
     # consumption mode (results are device arrays; fetch asynchronously).

@@ -112,6 +112,77 @@ def monitor_step_streams(states: motion.MeasureState, frames: jnp.ndarray,
                                  cfg, initialized)
 
 
+def _monitor_step_batched_cached(states: motion.MeasureState,
+                                 cache: motion.FlowCache,
+                                 frames: jnp.ndarray,
+                                 spec: motion.MeasureSpec,
+                                 coeffs: filters.FilterCoeffs, min_dist: int,
+                                 cfg, initialized: bool,
+                                 cache_valid: bool):
+    """Cached-LK variant of ``_monitor_step_batched``: threads the carried
+    prev-frame pyramid stacks (see motion.FlowCache) so each step builds
+    ONE pyramid instead of two.  Bit-identical results (tested)."""
+
+    def one(state, cch, frame):
+        state, cch, sample = motion.measure_step_cached(
+            state, cch, frame, spec, initialized_hint=initialized,
+            cache_valid=cache_valid)
+        res = bpm_mod.estimate_bpm(state.data, state.t, state.count,
+                                   coeffs, min_dist, cfg)
+        ran = state.count > cfg.initialization_length
+        return state, cch, sample, res.bpm, res.has_bpm & ran, state.error
+
+    states, cache, samples, bpm, has, err = jax.vmap(one)(states, cache,
+                                                          frames)
+    return StreamStepResult(state=states, samples=samples, bpm=bpm,
+                            has_bpm=has, error=err), cache
+
+
+@partial(jax.jit, static_argnames=("spec", "coeffs", "min_dist", "cfg",
+                                   "initialized", "cache_valid"),
+         donate_argnums=(0, 1))
+def monitor_step_streams_cached(states, cache, frames, spec, coeffs,
+                                min_dist, cfg, initialized: bool = False,
+                                cache_valid: bool = True):
+    """Single-device / GSPMD cached fleet step (see monitor_step_streams
+    for the donation/while_loop caveats — both apply here; the cache is
+    donated too, so each step's stacks alias the previous step's
+    buffers)."""
+    return _monitor_step_batched_cached(states, cache, frames, spec,
+                                        coeffs, min_dist, cfg, initialized,
+                                        cache_valid)
+
+
+@lru_cache(maxsize=64)
+def make_sharded_monitor_step_cached(mesh: Mesh, spec: motion.MeasureSpec,
+                                     coeffs: filters.FilterCoeffs,
+                                     min_dist: int, cfg,
+                                     axis: str = "streams",
+                                     initialized: bool = False,
+                                     cache_valid: bool = True):
+    """shard_map-wrapped cached fleet step (collective-free, donated
+    states+cache; see make_sharded_monitor_step)."""
+    p = jax.sharding.PartitionSpec(axis)
+
+    def local(states, cache, frames):
+        return _monitor_step_batched_cached(states, cache, frames, spec,
+                                            coeffs, min_dist, cfg,
+                                            initialized, cache_valid)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(p, p, p),
+        out_specs=(p, p), check_vma=False), donate_argnums=(0, 1))
+
+
+def init_fleet_cache(spec: motion.MeasureSpec, n_streams: int,
+                     dtype=jnp.float32) -> motion.FlowCache:
+    """Zero-filled batched (S, ...) cache placeholder for the
+    ``cache_valid=False`` rebuild step."""
+    base = motion.init_flow_cache(spec, dtype)
+    return motion.FlowCache(stacks=tuple(
+        jnp.zeros((n_streams,) + s.shape, s.dtype) for s in base.stacks))
+
+
 class StreamBatchResult(NamedTuple):
     state: motion.MeasureState     # final batched (S, ...) state
     samples: jnp.ndarray           # (K, S)
@@ -279,12 +350,28 @@ class MultiStreamMonitor:
         self.frame_hw = frame_hw
         self.dtype = dtype
         self.spec: Optional[motion.MeasureSpec] = None
-        self.states: Optional[motion.MeasureState] = None
+        self._states: Optional[motion.MeasureState] = None
+        # Carried prev-frame LK stacks (motion.FlowCache, batched (S,...));
+        # None = next step compiles the rebuild variant.  Any EXTERNAL
+        # assignment to .states (recalibration merges, checkpoint restore,
+        # bench fixtures) invalidates it via the property setter — the
+        # cache is only guaranteed consistent with states step() itself
+        # produced.
+        self._cache = None
         # True until every stream has taken its corner-detection step; the
         # steady-state program (the common case) then compiles without the
         # first-frame branch (batched cond executes BOTH sides).
         self._needs_init = True
         self._set_fps(fps)
+
+    @property
+    def states(self) -> Optional[motion.MeasureState]:
+        return self._states
+
+    @states.setter
+    def states(self, value) -> None:
+        self._states = value
+        self._cache = None
 
     def _set_fps(self, fps: float) -> None:
         """Install ``fps`` and everything derived from it (the lowpass
@@ -388,6 +475,32 @@ class MultiStreamMonitor:
         assert self.states is not None, "calibrate() first"
         dev = ingest_frames(frames, self.dtype)
         initialized = not self._needs_init
+        use_cache = (self.spec.method == "flow"
+                     and self.spec.lk_sample in ("slices", "onehot"))
+        if use_cache:
+            cache = self._cache
+            cache_valid = cache is not None
+            if not cache_valid:
+                cache = init_fleet_cache(self.spec, frames.shape[0],
+                                         self.dtype)
+            if self.mesh is not None:
+                dev = shard_streams(dev, self.mesh)
+                if not cache_valid:
+                    cache = shard_streams(cache, self.mesh)
+                fn = make_sharded_monitor_step_cached(
+                    self.mesh, self.spec, self.coeffs, self.min_dist,
+                    self.cfg.measure, initialized=initialized,
+                    cache_valid=cache_valid)
+                res, new_cache = fn(self._states, cache, dev)
+            else:
+                res, new_cache = monitor_step_streams_cached(
+                    self._states, cache, dev, self.spec, self.coeffs,
+                    self.min_dist, self.cfg.measure,
+                    initialized=initialized, cache_valid=cache_valid)
+            self._states = res.state
+            self._cache = new_cache
+            self._needs_init = False
+            return res
         if self.mesh is not None:
             dev = shard_streams(dev, self.mesh)
             fn = make_sharded_monitor_step(

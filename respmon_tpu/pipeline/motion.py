@@ -249,6 +249,145 @@ def relock_state(state: MeasureState, frame: jnp.ndarray,
         initialized=state.initialized & (jnp.sum(valid) > 0))
 
 
+class FlowCache(NamedTuple):
+    """Carried LK frame structures of the PREVIOUS frame (fleet fast path).
+
+    ``measure_step`` rebuilds the prev frame's pyramid + Scharr + padding
+    from ``state.prev_crop`` every step — but the previous step already
+    computed that exact pyramid for the same image in its *next* role.
+    Carrying the per-level padded (image, dx, dy) stacks between steps
+    (donated, so the carry is an in-place alias, ~2.3 MB/stream at
+    256x448 crops) removes one full pyramid+pad build per step,
+    bit-identically: the stacks are a deterministic function of the same
+    crop values ``prev_crop`` stores, and the padded next-role images are
+    channel 0 of the same stacks (`tests/test_parallel.py` pins
+    step-for-step bitwise equality with the uncached path).
+    """
+
+    stacks: Tuple[jnp.ndarray, ...]   # per-level (3, Hp, Wp), prev frame
+
+
+def init_flow_cache(spec: MeasureSpec, dtype=jnp.float32) -> FlowCache:
+    """Zero-filled cache with the right static shapes (jit placeholder for
+    the ``cache_valid=False`` program variant, which ignores the values and
+    rebuilds from ``state.prev_crop``)."""
+    from respmon_tpu.ops import lk
+
+    win = spec.lk.win_size[0]
+    shapes, _ = lk.level_geometry(spec.crop_h, spec.crop_w, win,
+                                  spec.lk.max_level)
+    pad = 2 * (win + 2)
+    return FlowCache(stacks=tuple(
+        jnp.zeros((3, h + pad, w + pad), dtype) for h, w in shapes))
+
+
+def measure_step_cached(state: MeasureState, cache: FlowCache,
+                        frame: jnp.ndarray, spec: MeasureSpec,
+                        initialized_hint: bool = False,
+                        cache_valid: bool = True
+                        ) -> Tuple[MeasureState, FlowCache, jnp.ndarray]:
+    """``measure_step`` with the carried prev-frame LK cache (flow mode).
+
+    Bit-identical to ``measure_step`` (same pixels, same FP order — the
+    cache holds exactly what the uncached path recomputes), one pyramid
+    build cheaper per step.  ``cache_valid=False`` (static) compiles the
+    rebuild variant: prev structures come from ``state.prev_crop`` (the
+    first step after calibrate/restore, where no prior step populated the
+    cache); the returned cache is valid either way.
+
+    Only flow mode with O(points)-memory sampling ('slices'/'onehot' — the
+    live modes) benefits; average mode and the patches modes (which need
+    im2col matrices the cache doesn't carry) fall back to the uncached
+    step and return the cache untouched.
+    """
+    if spec.method != "flow" or spec.lk_sample not in ("slices", "onehot"):
+        new_state, sample = measure_step(state, frame, spec,
+                                         initialized_hint)
+        return new_state, cache, sample
+
+    crop, mask, _ = _crop_and_mask(frame, state.roi, spec)
+    u8_in = frame.dtype == jnp.uint8
+    dtype = state.data.dtype
+    if u8_in:
+        crop = crop.astype(dtype)          # exact [0, 255] lattice
+
+    sample, new_state, new_cache, error = _flow_motion_cached(
+        state, cache, crop, mask, spec, initialized_hint,
+        crop_is_u8_scale=u8_in, cache_valid=cache_valid)
+
+    t_next = jnp.where(state.count == 0, 0.0,
+                       state.t[-1] + 1.0 / spec.fps)
+    new_state = new_state._replace(
+        data=_push(state.data, sample),
+        t=_push(state.t, t_next),
+        count=jnp.minimum(state.count + 1, spec.buffer_length),
+        error=error,
+    )
+    return new_state, new_cache, sample
+
+
+def _flow_motion_cached(state: MeasureState, cache: FlowCache, crop, mask,
+                        spec: MeasureSpec, initialized_hint: bool,
+                        crop_is_u8_scale: bool, cache_valid: bool):
+    from respmon_tpu.ops import corners, lk
+
+    crop_u8 = jnp.where(mask, crop, 0) if crop_is_u8_scale \
+        else _to_u8_scale(jnp.where(mask, crop, 0.0))
+    crop_u8 = crop_u8.astype(state.prev_crop.dtype)
+
+    win = spec.lk.win_size[0]
+    max_level = spec.lk.max_level
+    # One build serves both roles this step: channel 0 of each stack IS the
+    # padded next-role image, and the full stacks are next step's prev.
+    cur = lk.precompute_frame_inputs(crop_u8, win, max_level,
+                                     with_patches=False)
+    new_cache = FlowCache(stacks=cur.stacks)
+    shapes, wprimes = lk.level_geometry(spec.crop_h, spec.crop_w, win,
+                                        max_level)
+
+    def first_frame(state):
+        cs = corners.good_features_to_track(
+            crop_u8, max_corners=spec.features.max_corners,
+            quality_level=spec.features.quality_level,
+            min_distance=spec.features.min_distance,
+            block_size=spec.features.block_size, roi_mask=mask)
+        err = cs.count < 1  # "No motion key points found" (base.py:367-368)
+        new = state._replace(initialized=jnp.asarray(True),
+                             prev_crop=crop_u8,
+                             pts=cs.pts, pts_valid=cs.valid)
+        return jnp.asarray(0.0, crop.dtype), new, err
+
+    def track_frame(state):
+        if cache_valid:
+            prev_ins = lk.LKFrameInputs(stacks=cache.stacks, patches=(),
+                                        images=())
+        else:
+            prev_ins = lk.precompute_frame_inputs(
+                state.prev_crop, win, max_level, with_patches=False)
+        nxt_ins = lk.LKFrameInputs(
+            stacks=(), patches=(),
+            images=tuple(s[0] for s in cur.stacks))
+        fr = lk.lk_track_precomputed(
+            prev_ins, nxt_ins, state.pts, state.pts_valid,
+            tuple(shapes), tuple(wprimes), win, max_level,
+            spec.lk.max_iters, spec.lk.epsilon, sample=spec.lk_sample)
+        sample, good, motion_xy, motion_count, lost = flow_update(
+            fr, state.pts, state.pts_valid, state.motion_xy,
+            state.motion_count, spec.buffer_length, crop.dtype)
+        new = state._replace(
+            prev_crop=crop_u8,
+            pts=fr.pts, pts_valid=good,
+            motion_xy=motion_xy, motion_count=motion_count)
+        return sample, new, lost
+
+    if initialized_hint:
+        sample, new_state, error = track_frame(state)
+    else:
+        sample, new_state, error = jax.lax.cond(
+            state.initialized, track_frame, first_frame, state)
+    return sample, new_state, new_cache, error
+
+
 def flow_update(fr, pts, valid, motion_xy, motion_count,
                 buffer_length: int, dtype):
     """Shared post-LK bookkeeping (base.py:377-407): surviving-point

@@ -464,3 +464,75 @@ def test_fleet_calibrate_accepts_u8_buffers():
     # And the recalibrate path takes u8 too.
     loc_r = mon_u8.recalibrate(clips_u8[:, 1:33])
     assert np.asarray(loc_r.found).shape == (4,)
+
+
+def test_cached_fleet_step_bit_identical_to_uncached():
+    # The fleet step carries the prev-frame LK pyramid stacks between
+    # steps (motion.FlowCache) so each step builds one pyramid instead of
+    # two.  The stacks are a deterministic function of the same crop
+    # values prev_crop stores, so every output must be BITWISE-equal to
+    # the uncached program — including the rebuild variant
+    # (cache_valid=False, the first step after calibrate/restore).
+    import dataclasses
+
+    from respmon_tpu.ops import filters
+    from respmon_tpu.pipeline import motion
+
+    clips = _stream_clips(4, 44)
+    spec = motion.MeasureSpec.for_roi(FLOW_CFG, clips.shape[2],
+                                      clips.shape[3], 30, 24, FPS)
+    spec = dataclasses.replace(spec, lk_sample="onehot")
+    coeffs = filters.design_butter_lowpass(
+        FLOW_CFG.calibration.freq_max * 0.5, FPS,
+        FLOW_CFG.measure.filter_order)
+    boxes = np.tile(np.asarray([[2, 2, 30, 24]], np.int32), (4, 1))
+
+    states_u = streams_mod.init_stream_states(spec, boxes)
+    states_c = streams_mod.init_stream_states(spec, boxes)
+    cache = streams_mod.init_fleet_cache(spec, 4)
+    cache_valid = False
+    for t in range(9):
+        frames = jnp.asarray(clips[:, t])
+        res_u = streams_mod.monitor_step_streams(
+            states_u, frames, spec, coeffs, 3, FLOW_CFG.measure,
+            initialized=t > 0)
+        states_u = res_u.state
+        res_c, cache = streams_mod.monitor_step_streams_cached(
+            states_c, cache, frames, spec, coeffs, 3, FLOW_CFG.measure,
+            initialized=t > 0, cache_valid=cache_valid)
+        states_c = res_c.state
+        np.testing.assert_array_equal(np.asarray(res_u.samples),
+                                      np.asarray(res_c.samples))
+        np.testing.assert_array_equal(np.asarray(res_u.bpm),
+                                      np.asarray(res_c.bpm))
+        np.testing.assert_array_equal(np.asarray(res_u.state.pts),
+                                      np.asarray(res_c.state.pts))
+        # Re-enter through the rebuild variant mid-chain too (t == 3
+        # simulates a checkpoint restore / external states install).
+        cache_valid = t != 3
+    np.testing.assert_array_equal(np.asarray(states_u.data),
+                                  np.asarray(states_c.data))
+    assert not np.asarray(states_c.error).any()
+
+
+def test_fleet_cache_invalidated_by_external_states_assignment():
+    # Any external assignment to .states (recalibration merges, checkpoint
+    # restore, bench fixtures) must drop the carried LK cache — the stacks
+    # are only consistent with states step() itself produced.
+    clips = _stream_clips(4, 40)
+    mesh = make_mesh(axis_sizes=(4,), axis_names=("streams",),
+                     devices=jax.devices()[:4])
+    mon = streams_mod.MultiStreamMonitor(FLOW_CFG, mesh, (60, 80), FPS)
+    mon.calibrate(clips[:, :32])
+    assert mon._cache is None
+    mon.step(clips[:, 33])
+    mon.step(clips[:, 34])
+    assert mon._cache is not None
+    mon.states = mon.states          # external install
+    assert mon._cache is None
+    res = mon.step(clips[:, 35])     # rebuild variant recovers
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert mon._cache is not None
+    # recalibrate() goes through the setter too.
+    mon.recalibrate(clips[:, 4:36])
+    assert mon._cache is None
