@@ -365,8 +365,10 @@ def _fleet_segment(streams: int = 16, H: int = 720, W: int = 1280,
     boxes = np.tile(np.asarray([[x, y, w, h]], np.int32), (streams, 1))
     spec = motion.MeasureSpec.for_roi(cfg, H, W, w, h, fps_video)
     import dataclasses as _dc
-    mon.spec = _dc.replace(spec, lk_sample=fleet.fleet_lk_sample(
-        cfg, spec.crop_h, spec.crop_w, streams))
+    mon.spec = _dc.replace(
+        spec, lk_sample=fleet.fleet_lk_sample(cfg, spec.crop_h,
+                                              spec.crop_w, streams),
+        lk_prev_sample=fleet.fleet_lk_prev_sample(cfg))
     mon.states = fleet.init_stream_states(mon.spec, boxes)
     log(f"fleet segment: {streams}x{H}p, crop bucket "
         f"{mon.spec.crop_h}x{mon.spec.crop_w}, "
@@ -566,8 +568,10 @@ def main_multistream(streams: int = 64):
     boxes = np.tile(np.asarray([[x, y, w, h]], np.int32), (streams, 1))
     spec = motion.MeasureSpec.for_roi(cfg, H, W, w, h, fps_video)
     import dataclasses as _dc
-    mon.spec = _dc.replace(spec, lk_sample=fleet.fleet_lk_sample(
-        cfg, spec.crop_h, spec.crop_w, streams))
+    mon.spec = _dc.replace(
+        spec, lk_sample=fleet.fleet_lk_sample(cfg, spec.crop_h,
+                                              spec.crop_w, streams),
+        lk_prev_sample=fleet.fleet_lk_prev_sample(cfg))
     log(f"crop bucket {mon.spec.crop_h}x{mon.spec.crop_w}, "
         f"lk_sample={mon.spec.lk_sample}")
     mon.states = fleet.init_stream_states(mon.spec, boxes)
@@ -731,8 +735,10 @@ def main_fleet_breakdown(streams: int = 64):
     boxes = np.tile(np.asarray([[x, y, w, h]], np.int32), (streams, 1))
     spec = motion.MeasureSpec.for_roi(cfg, H, W, w, h, fps_video)
     import dataclasses as _dc
-    spec = _dc.replace(spec, lk_sample=fleet.fleet_lk_sample(
-        cfg, spec.crop_h, spec.crop_w, streams))
+    spec = _dc.replace(
+        spec, lk_sample=fleet.fleet_lk_sample(cfg, spec.crop_h,
+                                              spec.crop_w, streams),
+        lk_prev_sample=fleet.fleet_lk_prev_sample(cfg))
     mon.spec = spec
     mon.states = fleet.init_stream_states(spec, boxes)
     log(f"crop bucket {spec.crop_h}x{spec.crop_w}, "
@@ -1064,9 +1070,11 @@ def main_fleet_breakdown(streams: int = 64):
                    for s in (0, 1, 2)]
     np.asarray(frames_u8_v[-1][0, 0, :4])
     mon.states = states_copy()
-    np.asarray(mon.step(frames_u8_v[0]).samples)   # u8 program compile
+    np.asarray(mon.step(frames_u8_v[0]).samples)   # u8 rebuild-variant compile
+    np.asarray(mon.step(frames_u8_v[1]).samples)   # u8 cached-variant compile
     mon.states = states_copy()
-    np.asarray(mon.step(frames_u8_v[1]).samples)   # settle (see f32 loop)
+    np.asarray(mon.step(frames_u8_v[2]).samples)   # rebuild (cache dropped)
+    np.asarray(mon.step(frames_u8_v[0]).samples)   # settle onto cached program
     t0 = time.time()
     for i in range(10):
         last = mon.step(frames_u8_v[(i + 2) % 3]).samples
@@ -1308,8 +1316,10 @@ def main_fleet_live(streams: int = 16, measure_frames: int = 64,
     boxes = np.tile(np.asarray([[x, y, w, h]], np.int32), (streams, 1))
     spec = motion.MeasureSpec.for_roi(cfg, H, W, w, h, fps_video)
     import dataclasses as _dc
-    mon.spec = _dc.replace(spec, lk_sample=fleet.fleet_lk_sample(
-        cfg, spec.crop_h, spec.crop_w, streams))
+    mon.spec = _dc.replace(
+        spec, lk_sample=fleet.fleet_lk_sample(cfg, spec.crop_h,
+                                              spec.crop_w, streams),
+        lk_prev_sample=fleet.fleet_lk_prev_sample(cfg))
     mon.states = fleet.init_stream_states(mon.spec, boxes)
     log(f"crop bucket {mon.spec.crop_h}x{mon.spec.crop_w}, "
         f"lk_sample={mon.spec.lk_sample}")

@@ -109,6 +109,14 @@ class MonitorConfig:
     streaming_roi: bool = False
     streaming_interval: int = 8         # frames between streaming updates
     streaming_drift_px: float = 4.0     # min center drift to re-lock
+    # Fleet LK prev-window extraction (parallel/streams.py): False (default)
+    # uses the MXU throughput mode ('onehot1') on TPU — ~12 ms faster per
+    # 64x1080p fleet step than the per-point slice gathers, with tracked
+    # points ulp-seeded against the single-stream path (divergence of the
+    # same class as cv2's own SIMD-variant spread; status decisions and
+    # cv2-tolerance parity unaffected).  True forces the exact slice path:
+    # fleet steps then reproduce the single-stream monitor bit-for-bit.
+    fleet_exact_lk: bool = False
 
     def validate(self) -> "MonitorConfig":
         """Assert-based validation matching reference base.py:24-34."""

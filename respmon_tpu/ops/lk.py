@@ -398,6 +398,32 @@ def _track_level(lp: _LevelPatches, prev_pts, next_pts, status, level, win,
     if lp.prev_mode == "onehot":
         iw, ixw, iyw = _window_onehot3(lp.prev_stack, pad, by, bx, fy, fx,
                                        win, bf16_exact=lp.prev_bf16)
+    elif lp.prev_mode == "onehot1":
+        # Per-channel single-image one-hot extraction (see _window_onehot):
+        # pixels come back exact per channel, but the downstream bilinear
+        # combine is NOT guaranteed bitwise against "slices" (XLA fuses
+        # elementwise work differently after a matmul than after a gather
+        # — see CLAUDE.md; measured ulp-class drift on CPU too).  It
+        # replaces the latency-bound per-point (3, win+1, win+1) gathers
+        # — which dominate the fleet step (~9 ms at 64x100 pts) — with
+        # MXU contractions (~1 ms); tests pin status-decision parity and
+        # sub-cv2-tolerance point drift (tests/test_parallel.py).
+        # Clip bases into the selector's valid range.  This differs from
+        # dynamic_slice's clamp only for by/bx >= h/w — points already
+        # flagged out_prev below, whose windows never reach the output.
+        h_img, w_img = lp.hw
+        byc = jnp.clip(by, -pad, h_img - 1)
+        bxc = jnp.clip(bx, -pad, w_img - 1)
+        # Image mantissas need min(L+1, 3) terms, Scharr channels
+        # min(L+2, 3) (see _window_onehot3's derivation); prev_bf16
+        # carries the Scharr count.
+        img_terms = min(level + 1, 3) if lp.prev_bf16 else 0
+        iw = _window_onehot(lp.prev_stack[0], pad, byc, bxc, fy, fx, win,
+                            bf16_exact=img_terms)
+        ixw = _window_onehot(lp.prev_stack[1], pad, byc, bxc, fy, fx, win,
+                             bf16_exact=lp.prev_bf16)
+        iyw = _window_onehot(lp.prev_stack[2], pad, byc, bxc, fy, fx, win,
+                             bf16_exact=lp.prev_bf16)
     else:
         iw, ixw, iyw = _window_slices3(lp.prev_stack, pad, by, bx, fy, fx,
                                        win)
@@ -568,8 +594,11 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
 
     ``shapes``/``wprimes`` come from ``level_geometry`` (static);
     ``sample`` picks the next-window mode and ``prev_sample`` the
-    prev-window mode (see _LevelPatches) — all modes are bit-identical;
-    they differ only in gather strategy/memory.
+    prev-window mode (see _LevelPatches).  Next-window modes are
+    bit-identical to each other; prev modes are not all bitwise —
+    ``"slices"`` is the bitwise reference, ``"onehot"``/``"onehot1"``
+    drift at the ulp level under different XLA fusion (see
+    _window_onehot3 / the onehot1 branch in _track_level).
 
     ``bf16_split`` (onehot mode only): extract next windows with exact
     multi-term bf16 MXU dots instead of 6-pass f32 HIGHEST — level L uses
@@ -596,7 +625,8 @@ def lk_track_precomputed(prev: LKFrameInputs, nxt: LKFrameInputs,
                                        else 0),
                            prev_bf16=(min(level + 2, 3)
                                       if bf16_split
-                                      and prev_sample == "onehot"
+                                      and prev_sample in ("onehot",
+                                                          "onehot1")
                                       else 0))
         prev_pts = pts / (2.0 ** level)
         next_pts = next_pts * 2.0

@@ -315,6 +315,26 @@ def fleet_lk_sample(cfg: MonitorConfig, crop_h: int, crop_w: int,
     return "onehot"
 
 
+def fleet_lk_prev_sample(cfg: MonitorConfig) -> str:
+    """Pick the fleet's LK prev-window sampling mode.
+
+    TPU fleets default to ``"onehot1"`` (per-channel one-hot MXU
+    extraction, ops/lk.py): the per-point (3, win+1, win+1) dynamic-slice
+    gathers it replaces are latency-bound and cost ~9-12 ms of a 64x1080p
+    fleet step.  Unlike the next-window ``"onehot"`` mode this is NOT
+    bitwise-reproducible against the slice path (reduction/fusion order
+    after a matmul differs from after a gather; Newton iterates seeded
+    ulps apart can drift like cv2's own SIMD variants do — status
+    decisions and cv2-tolerance parity are unaffected, tests pin both).
+    ``cfg.fleet_exact_lk`` (or a non-TPU backend) forces ``"slices"``,
+    which reproduces the single-stream monitor bit-for-bit."""
+    import jax as _jax
+
+    if cfg.fleet_exact_lk or _jax.default_backend() not in ("tpu", "axon"):
+        return "slices"
+    return "onehot1"
+
+
 def init_stream_states(spec: motion.MeasureSpec, rois: np.ndarray,
                        dtype=jnp.float32) -> motion.MeasureState:
     """Batched initial states from per-stream ROIs (S, 4)."""
@@ -405,7 +425,8 @@ class MultiStreamMonitor:
             self.fps)
         self.spec = dataclasses.replace(
             spec, lk_sample=fleet_lk_sample(self.cfg, spec.crop_h,
-                                            spec.crop_w, boxes.shape[0]))
+                                            spec.crop_w, boxes.shape[0]),
+            lk_prev_sample=fleet_lk_prev_sample(self.cfg))
         self.states = init_stream_states(self.spec, boxes, self.dtype)
         self._needs_init = True
         if self.mesh is not None:

@@ -52,6 +52,14 @@ class MeasureSpec:
     # memory; 'onehot' (bit-identical, MXU-fed) is the fleet throughput
     # mode; 'patches16' is the legacy bf16 im2col mode.
     lk_sample: str = "slices"
+    # Live-step prev-window sampling: 'slices' (per-point (3, win+1, win+1)
+    # dynamic slices — latency-bound 2D gathers, ~9 ms/step at 64x100-pt
+    # fleet scale; the bitwise-reference path) or 'onehot1' (per-channel
+    # one-hot MXU extraction — exact pixels, but the fused bilinear
+    # combine drifts at the ulp level vs slices, like cv2's own SIMD
+    # variants; status decisions and cv2-tolerance parity pinned in
+    # tests/test_parallel.py).  The fleet throughput default on TPU.
+    lk_prev_sample: str = "slices"
     # Whole-clip scan path modes (all bit-identical; see ops/lk.py).
     # next-window: 'patches' hoists im2col matrices out of the scan (fast
     # row-takes, ~32 MB/frame HBM at 128x128 crops); prev-window: 'onehot'
@@ -370,7 +378,8 @@ def _flow_motion_cached(state: MeasureState, cache: FlowCache, crop, mask,
         fr = lk.lk_track_precomputed(
             prev_ins, nxt_ins, state.pts, state.pts_valid,
             tuple(shapes), tuple(wprimes), win, max_level,
-            spec.lk.max_iters, spec.lk.epsilon, sample=spec.lk_sample)
+            spec.lk.max_iters, spec.lk.epsilon, sample=spec.lk_sample,
+            prev_sample=spec.lk_prev_sample)
         sample, good, motion_xy, motion_count, lost = flow_update(
             fr, state.pts, state.pts_valid, state.motion_xy,
             state.motion_count, spec.buffer_length, crop.dtype)
@@ -446,12 +455,12 @@ def _flow_motion(state: MeasureState, crop, mask, spec: MeasureSpec,
             state.pts, state.pts_valid,
             win=spec.lk.win_size[0], max_level=spec.lk.max_level,
             max_iters=spec.lk.max_iters, eps=spec.lk.epsilon,
-            sample=spec.lk_sample)
-        # prev windows stay on per-point slices here: onehot3 prev
-        # extraction is NOT bit-identical to the slice path (1-ulp
-        # bilinear rounding under different XLA fusion — see
-        # _window_onehot3), and the live fleet mode advertises bit-parity
-        # with the exact-slices mode (tests/test_parallel.py).
+            sample=spec.lk_sample, prev_sample=spec.lk_prev_sample)
+        # prev windows: 'slices' (bitwise reference) or 'onehot1' (MXU
+        # throughput mode; exact pixels but ulp-level bilinear drift under
+        # different XLA fusion — same caveat as _window_onehot3, which
+        # stays reserved for the whole-clip scan where both compared
+        # paths use it consistently).
         sample, good, motion_xy, motion_count, lost = flow_update(
             fr, state.pts, state.pts_valid, state.motion_xy,
             state.motion_count, spec.buffer_length, crop.dtype)

@@ -536,3 +536,60 @@ def test_fleet_cache_invalidated_by_external_states_assignment():
     # recalibrate() goes through the setter too.
     mon.recalibrate(clips[:, 4:36])
     assert mon._cache is None
+
+
+def test_fleet_prev_onehot1_tolerance_and_exact_knob():
+    # The fleet throughput prev-window mode ("onehot1", per-channel one-hot
+    # MXU extraction) is ulp-seeded against the exact slice path: Newton
+    # iterates may drift within the same class as cv2's own SIMD-variant
+    # spread.  Pin the contract: identical status decisions, sub-cv2-
+    # tolerance point drift on realistic texture, and the
+    # cfg.fleet_exact_lk knob forcing the bitwise slice path.
+    import dataclasses
+
+    from respmon_tpu.ops import filters
+    from respmon_tpu.pipeline import motion
+
+    clips = _stream_clips(4, 42)
+    spec = motion.MeasureSpec.for_roi(FLOW_CFG, clips.shape[2],
+                                      clips.shape[3], 30, 24, FPS)
+    coeffs = filters.design_butter_lowpass(
+        FLOW_CFG.calibration.freq_max * 0.5, FPS,
+        FLOW_CFG.measure.filter_order)
+    boxes = np.tile(np.asarray([[2, 2, 30, 24]], np.int32), (4, 1))
+
+    results = {}
+    for prev in ("slices", "onehot1"):
+        sp = dataclasses.replace(spec, lk_sample="onehot",
+                                 lk_prev_sample=prev)
+        states = streams_mod.init_stream_states(sp, boxes)
+        pts_trace, samples = [], []
+        for t in range(8):
+            res = streams_mod.monitor_step_streams(
+                states, jnp.asarray(clips[:, t]), sp, coeffs, 3,
+                FLOW_CFG.measure, initialized=t > 0)
+            states = res.state
+            pts_trace.append(np.asarray(states.pts))
+            samples.append(np.asarray(res.samples))
+        results[prev] = (np.stack(pts_trace), np.stack(samples),
+                         np.asarray(states.pts_valid),
+                         np.asarray(states.error))
+
+    np.testing.assert_array_equal(results["onehot1"][2],
+                                  results["slices"][2])   # survivors
+    np.testing.assert_array_equal(results["onehot1"][3],
+                                  results["slices"][3])   # error flags
+    alive = results["slices"][2]
+    d = np.abs(results["onehot1"][0][:, alive] - results["slices"][0][:,
+                                                                      alive])
+    assert d.max() < 0.05, f"prev-mode drift {d.max()} px"
+    ds = np.abs(results["onehot1"][1] - results["slices"][1])
+    assert np.nanmax(ds) < 0.01, f"sample drift {np.nanmax(ds)}"
+
+    # The exactness knob forces the slice path (and non-TPU backends
+    # always get it).
+    import dataclasses as _dc2
+    cfg_exact = _dc2.replace(FLOW_CFG, fleet_exact_lk=True)
+    assert streams_mod.fleet_lk_prev_sample(cfg_exact) == "slices"
+    assert streams_mod.fleet_lk_prev_sample(FLOW_CFG) in ("slices",
+                                                          "onehot1")
