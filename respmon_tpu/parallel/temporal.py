@@ -70,12 +70,15 @@ def make_tsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
                          t_total: int, axis: str = "time"):
     """Compile a T-sharded ``evm.locate`` over ``mesh[axis]``.
 
-    Returns a jitted fn of a (T, H, W) buffer (placed T-sharded); T must be
-    divisible by the mesh axis size.  Output LocateResult fields are
-    replicated.
+    Returns a jitted fn of a (T_pad, H, W) buffer (placed T-sharded), where
+    ``T_pad = ceil(t_total / n) * n`` — ``t_total`` not divisible by the
+    mesh axis is handled by zero-padding the tail shard and masking it out
+    of every temporal reduction (the packed bandpass operator is built for
+    the TRUE ``t_total`` and zero-extended, so pad frames contribute
+    nothing to any output row).  Output LocateResult fields are replicated.
     """
     n = mesh.shape[axis]
-    assert t_total % n == 0, (t_total, n)
+    t_pad = -(-t_total // n) * n
     first = cfg.skip_levels_at_top
     last = cfg.pyramid_levels - 2
 
@@ -86,6 +89,11 @@ def make_tsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
             vid_local = uint8_to_float(vid_local)
         t_local, h, w = vid_local.shape
         shapes = pyramid_shapes(h, w, cfg.pyramid_levels)
+        idx = jax.lax.axis_index(axis)
+        # Per-local-frame validity: global index < true T.  Pad frames are
+        # zero-filled, stay exactly zero through the (linear) pyramid /
+        # bandpass / collapse chain, and are excluded from min/max/means.
+        valid = idx * t_local + jnp.arange(t_local) < t_total
 
         band_lap = evm._band_laplacian_levels(vid_local, cfg)
 
@@ -93,10 +101,12 @@ def make_tsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
             "T-sharded locate supports the fft temporal filter"
         band = {}
         for i, lvl in band_lap.items():
-            op = jnp.asarray(packed_bandpass_operator(
+            op_true = packed_bandpass_operator(
                 t_total, float(fps), float(cfg.freq_min),
-                float(cfg.freq_max), float(cfg.amplification)),
-                dtype=vid_local.dtype)
+                float(cfg.freq_max), float(cfg.amplification))
+            op = jnp.zeros((t_pad, t_pad), vid_local.dtype)
+            op = op.at[:t_total, :t_total].set(
+                jnp.asarray(op_true, vid_local.dtype))
             band[i] = _bandpass_tsharded(lvl, op, axis, n)
 
         img = jnp.zeros((t_local,) + shapes[last + 1], vid_local.dtype)
@@ -105,16 +115,20 @@ def make_tsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
             if lvl in band:
                 img = img + band[lvl]
 
-        lo = jax.lax.pmin(jnp.min(img), axis)
-        hi = jax.lax.pmax(jnp.max(img), axis)
+        vmask = valid[:, None, None]
+        big = jnp.asarray(jnp.inf, img.dtype)
+        lo = jax.lax.pmin(jnp.min(jnp.where(vmask, img, big)), axis)
+        hi = jax.lax.pmax(jnp.max(jnp.where(vmask, img, -big)), axis)
         top = hi - (hi - lo) * cfg.temporal_threshold
         masked = jnp.where(img >= top, lo, img)
 
         # T-means across shards: local partial sums + psum; the finish
         # (normalize -> threshold -> CCL bbox) is the shared single-device
         # code so the sharded paths cannot drift from evm.locate.
-        avg = jax.lax.psum(jnp.sum(masked, axis=0), axis) / t_total
-        raw_avg = jax.lax.psum(jnp.sum(img, axis=0), axis) / t_total
+        avg = jax.lax.psum(
+            jnp.sum(jnp.where(vmask, masked, 0), axis=0), axis) / t_total
+        raw_avg = jax.lax.psum(
+            jnp.sum(jnp.where(vmask, img, 0), axis=0), axis) / t_total
         return evm._finish_locate(avg, raw_avg, cfg)
 
     in_spec = P(axis, None, None)
@@ -125,9 +139,20 @@ def make_tsharded_locate(mesh: Mesh, fps: float, cfg: CalibrationConfig,
 
 def locate_tsharded(vid, mesh: Mesh, fps: float, cfg: CalibrationConfig,
                     axis: str = "time") -> evm.LocateResult:
-    """T-sharded EVM calibration of a (T, H, W) buffer (see module doc)."""
+    """T-sharded EVM calibration of a (T, H, W) buffer (see module doc).
+
+    Any ``T >= 1`` works: buffers whose length is not divisible by the mesh
+    axis are zero-padded to the next multiple and the pad frames are masked
+    out of the temporal statistics (BASELINE config 3's 300-frame buffer on
+    an 8-device mesh pads to 304; reference base.py:81,119 treats buffer
+    length as a free parameter)."""
     t_total = vid.shape[0]
+    n = mesh.shape[axis]
+    t_pad = -(-t_total // n) * n
     fn = make_tsharded_locate(mesh, float(fps), cfg, t_total, axis)
-    vid = jax.device_put(jnp.asarray(vid),
-                         NamedSharding(mesh, P(axis, None, None)))
+    vid = jnp.asarray(vid)
+    if t_pad != t_total:
+        pad = jnp.zeros((t_pad - t_total,) + vid.shape[1:], vid.dtype)
+        vid = jnp.concatenate([vid, pad], axis=0)
+    vid = jax.device_put(vid, NamedSharding(mesh, P(axis, None, None)))
     return fn(vid)

@@ -27,8 +27,7 @@ from respmon_tpu.config import CalibrationConfig
 from respmon_tpu.ops import ccl
 from respmon_tpu.ops.dtype import float_to_uint8, uint8_to_float
 from respmon_tpu.ops.fft_bandpass import temporal_bandpass_fft
-from respmon_tpu.ops.pyramid import (laplacian_pyramid, pyr_up,
-                                     pyramid_shapes)
+from respmon_tpu.ops.pyramid import pyr_up, pyramid_shapes
 
 
 class EVMResult(NamedTuple):
@@ -116,8 +115,15 @@ def _band_laplacian_levels(vid: jnp.ndarray, cfg: CalibrationConfig):
             levels = laplacian_band_levels(g, cfg.pyramid_levels - s1,
                                            first - s1)
             return dict(zip(range(first, last + 1), levels))
-    lap = laplacian_pyramid(vid, cfg.pyramid_levels)
-    return {i: lap[i] for i in range(first, last + 1)}
+    # XLA path: build the Gaussian chain once, then only the KEPT Laplacian
+    # differences — the full-resolution Laplacians below ``skip_top`` (which
+    # nothing consumes) never pay their pyr_up.  Values are identical to
+    # laplacian_pyramid()'s kept levels (same stencils on the same gauss).
+    from respmon_tpu.ops.pyramid import gaussian_pyramid
+
+    gauss = gaussian_pyramid(vid, cfg.pyramid_levels)
+    return {i: gauss[i] - pyr_up(gauss[i + 1], gauss[i].shape[-2:])
+            for i in range(first, last + 1)}
 
 
 def eulerian_magnification_bandpass(vid: jnp.ndarray, fps: float,

@@ -28,8 +28,7 @@ from respmon_tpu.config import CalibrationConfig
 from respmon_tpu.ops import ccl
 from respmon_tpu.ops.dtype import float_to_uint8, uint8_to_float
 from respmon_tpu.ops.fft_bandpass import temporal_bandpass_fft
-from respmon_tpu.ops.pyramid import (laplacian_pyramid, pyr_up,
-                                     pyramid_shapes)
+from respmon_tpu.ops.pyramid import pyr_up, pyramid_shapes
 
 
 class StreamingState(NamedTuple):
@@ -71,13 +70,14 @@ def init_streaming_from_buffer(buffer: jnp.ndarray,
     ``buffer`` must hold at least ``cfg.buffer_length`` frames; the last
     ``buffer_length`` fill the rings (newest last, matching
     ``streaming_update``'s roll+write order)."""
+    from respmon_tpu.pipeline import evm
+
     t = cfg.buffer_length
     buf = buffer[-t:]
     if buf.dtype == jnp.uint8:   # camera-native ingest (ops/dtype contract)
         buf = uint8_to_float(buf)
-    lap = jax.vmap(
-        lambda f: laplacian_pyramid(f, cfg.pyramid_levels))(buf)
-    levels = tuple(lap[i] for i in _kept_levels(cfg))
+    band_lap = evm._band_laplacian_levels(buf, cfg)
+    levels = tuple(band_lap[i] for i in _kept_levels(cfg))
     return StreamingState(levels=levels, count=jnp.asarray(t, jnp.int32))
 
 
@@ -88,29 +88,47 @@ def streaming_absorb(state: StreamingState, frame: jnp.ndarray,
     the cheap per-frame half of ``streaming_update``.  The monitor's
     streaming-ROI mode absorbs every frame (the bandpass assumes a
     contiguous fps-rate window) but only pays the localize half every
-    ``streaming_interval`` frames."""
-    kept = _kept_levels(cfg)
+    ``streaming_interval`` frames.
+
+    Only the KEPT Laplacian levels are built (evm._band_laplacian_levels:
+    the fused Pallas kernel on TPU, the XLA formulation elsewhere) — the
+    full-resolution Laplacian levels below ``skip_levels_at_top``, which
+    the rings never store, are not computed at all (they were the dominant
+    cost of the previous full-pyramid absorb at 1080p)."""
+    from respmon_tpu.pipeline import evm
+
     if frame.dtype == jnp.uint8:  # camera-native ingest (ops/dtype contract)
         frame = uint8_to_float(frame)
-    lap = laplacian_pyramid(frame, cfg.pyramid_levels)
+    kept = _kept_levels(cfg)
+    band_lap = evm._band_laplacian_levels(frame[None], cfg)
     new_levels = []
     for ring, lvl in zip(state.levels, kept):
         rolled = jnp.roll(ring, -1, axis=0)
-        new_levels.append(rolled.at[-1].set(lap[lvl]))
+        new_levels.append(rolled.at[-1].set(band_lap[lvl][0]))
     return StreamingState(
         levels=tuple(new_levels),
         count=jnp.minimum(state.count + 1, cfg.buffer_length))
 
 
-@partial(jax.jit, static_argnames=("fps", "cfg"))
+@partial(jax.jit, static_argnames=("fps", "cfg", "coarse"))
 def streaming_update(state: StreamingState, frame: jnp.ndarray, fps: float,
-                     cfg: CalibrationConfig) \
+                     cfg: CalibrationConfig, coarse: bool = False) \
         -> Tuple[StreamingState, StreamingLocate]:
     """Absorb one frame and localize over the current window.
 
     ``ready`` is False until the ring holds ``buffer_length`` frames
     (matching the prototype, which waits for a full deque before filtering,
     locating.py:117-143).
+
+    ``coarse`` (static) stops the collapse at level ``skip_levels_at_top``
+    instead of full resolution: the suppress-top window, heatmap, threshold,
+    and CCL all run on the (T, h_c, w_c) coarse image and the bbox is
+    scaled back by ``2**skip``.  At 1080p with skip=4 this removes the
+    (T, 1080, 1920) collapse — ~256x less pixel work and HBM traffic for
+    the localize half — at the cost of ``2**skip``-pixel bbox granularity,
+    which is exactly what a re-lock drift detector needs (not the exact
+    batch-calibration semantics; the fleet streaming mode uses this).
+    The returned ``heatmap_u8`` is the coarse heatmap in this mode.
     """
     if frame.dtype == jnp.uint8:  # camera-native ingest (ops/dtype contract)
         frame = uint8_to_float(frame)
@@ -126,8 +144,9 @@ def streaming_update(state: StreamingState, frame: jnp.ndarray, fps: float,
                                        cfg.freq_max, cfg.amplification)
             for ring, lvl in zip(new_levels, kept)}
     last = cfg.pyramid_levels - 2
+    stop = cfg.skip_levels_at_top if coarse else 0
     img = jnp.zeros((cfg.buffer_length,) + shapes[last + 1], frame.dtype)
-    for lvl in range(last, -1, -1):
+    for lvl in range(last, stop - 1, -1):
         img = pyr_up(img, shapes[lvl])
         if lvl in band:
             img = img + band[lvl]
@@ -144,7 +163,16 @@ def streaming_update(state: StreamingState, frame: jnp.ndarray, fps: float,
         .astype(jnp.int32)
     box = ccl.largest_component_bbox(fg)
 
+    if coarse:
+        s = 1 << stop
+        bx = box.x * s
+        by = box.y * s
+        bw = jnp.minimum(box.w * s, w0 - bx)
+        bh = jnp.minimum(box.h * s, h0 - by)
+    else:
+        bx, by, bw, bh = box.x, box.y, box.w, box.h
+
     ready = new_state.count >= cfg.buffer_length
     return new_state, StreamingLocate(
-        ready=ready, found=box.found & ready, x=box.x, y=box.y,
-        w=box.w, h=box.h, heatmap_u8=heat)
+        ready=ready, found=box.found & ready, x=bx, y=by,
+        w=bw, h=bh, heatmap_u8=heat)

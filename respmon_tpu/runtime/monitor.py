@@ -259,6 +259,19 @@ class RespiratoryMonitor:
         elif self.state == "measure":
             self._measure_frame(frame)
         elif self.state == "error":
+            # Streaming-ROI mode keeps the rolling pyramid rings warm
+            # through the error wait (the frames are captured anyway —
+            # reference base.py reads and discards them), so recovery can
+            # recalibrate from the rings instead of waiting buffer_length
+            # fresh frames (see _calibration_step's warm path).
+            if (self.config.streaming_roi
+                    and self._streaming_state is not None):
+                from respmon_tpu.pipeline import streaming
+
+                self._streaming_state = streaming.streaming_absorb(
+                    self._streaming_state,
+                    dtype_ops.ingest_frames(frame, self.compute_dtype),
+                    self.config.calibration)
             if time.time() - self.reset_start_time >= \
                     self.config.error_reset_delay:
                 logger.info("Benchmark Report...\r\n"
@@ -324,8 +337,14 @@ class RespiratoryMonitor:
         self._measure_state = None
         self.cropped_image = None
         self.motion_key_points = None
-        self._streaming_state = None
-        self._streaming_tick = 0
+        # Streaming-ROI mode: the rolling rings SURVIVE the reset (they
+        # were kept fps-contiguous through the error wait) so the next
+        # calibration can localize from them immediately instead of dead-
+        # waiting buffer_length fresh frames; without streaming mode the
+        # reference cold reset applies.
+        if not self.config.streaming_roi:
+            self._streaming_state = None
+            self._streaming_tick = 0
         if self._recorder is not None:
             self._recorder.release_video()
 
@@ -370,6 +389,8 @@ class RespiratoryMonitor:
 
     def _calibration_step(self, frame) -> bool:
         """Returns True when UI/sync should be skipped (retry path)."""
+        if self._warm_calibration_available():
+            return self._warm_calibration_step(frame)
         if self.calibration_buffer_idx < self.calibration_buffer_target_length:
             self.calibration_buffer[self.calibration_buffer_idx] = frame
             self.calibration_buffer_idx += 1
@@ -418,6 +439,59 @@ class RespiratoryMonitor:
                                         self.compute_dtype),
                 self.config.calibration)
             self._streaming_tick = 0
+        self.state = "measure"
+        return False
+
+    def _warm_calibration_available(self) -> bool:
+        """True when streaming-ROI rings hold a full fps-contiguous window
+        (kept warm through the error state), so calibration can localize
+        immediately instead of refilling the calibration buffer — the
+        recovery dead time drops from ``buffer_length/fps`` seconds of
+        fresh capture to one frame (reference base.py:515-533 can only
+        cold-restart; the rings are this rebuild's addition)."""
+        if not self.config.streaming_roi or self._streaming_state is None:
+            return False
+        if math.isnan(self.fps) or self.fps <= 0:
+            return False   # fps never probed: cold calibration measures it
+        return int(np.asarray(self._streaming_state.count)) >= \
+            self.config.calibration.buffer_length
+
+    def _warm_calibration_step(self, frame) -> bool:
+        """One warm-recovery calibration step: absorb the frame, localize
+        over the rolling window, and enter measurement on success.  Returns
+        True (skip UI/sync, like the cold retry path) while no ROI is
+        found — each subsequent frame retries at frame rate instead of
+        after another full buffer refill."""
+        from respmon_tpu.pipeline import streaming
+
+        self.detect_fps()
+        self.peak_minimum_sample_distance = int(
+            np.floor(self.fps / self.config.calibration.freq_max))
+
+        self.benchmarker.tick_start("Calibration Measurement")
+        self._streaming_state, res = streaming.streaming_update(
+            self._streaming_state,
+            dtype_ops.ingest_frames(frame, self.compute_dtype),
+            float(self.fps), self.config.calibration)
+        jax.block_until_ready(res.found)
+        self.benchmarker.tick_end("Calibration Measurement")
+
+        if not bool(res.found):
+            logger.info("Failed finding ROI during calibration. Retrying...")
+            return True   # reference `continue`s past UI/sync (base.py:454)
+
+        self.x, self.y = int(res.x), int(res.y)
+        self.w, self.h = int(res.w), int(res.h)
+        self.x, self.y, self.w, self.h = reduce_bounding_box(
+            self.x, self.y, self.w, self.h,
+            self.config.calibration.maximum_bounding_box_area)
+        if self.config.save_calibration_image:
+            logger.info("Calibration montage unavailable on the warm "
+                        "(streaming-ring) recovery path; skipping save.")
+        logger.info("Finished calibration (warm, from streaming rings).")
+        logger.info("Beginning measuring...")
+        self._setup_measurement()
+        self._streaming_tick = 0
         self.state = "measure"
         return False
 

@@ -142,6 +142,110 @@ def test_recalibrate_subset_of_streams():
     assert np.asarray(res.samples).shape == (8,)
 
 
+# Per-stream subject drifts for the fleet streaming tests.  All streams
+# share background seed 0: EVM localization under the suppress-top quirk is
+# background-seed-sensitive for small off-center patches (several seeds
+# localize a spurious corner box — in the reference just as much as here),
+# and the test's subject is the re-lock machinery, not localizer robustness.
+_FLEET_DRIFTS = [(14.0, 24.0), (12.0, 20.0), (10.0, 26.0), (14.0, 18.0),
+                 (16.0, 22.0), (12.0, 26.0), (10.0, 20.0), (16.0, 26.0)]
+
+
+def _drifting_fleet(s, n, t, method="average", mesh=None):
+    import dataclasses
+
+    cal = CalibrationConfig(buffer_length=t, pyramid_levels=4,
+                            skip_levels_at_top=1)
+    cfg = dataclasses.replace(
+        SMALL_CFG, calibration=cal, streaming_roi=True,
+        streaming_interval=4, streaming_drift_px=2.0,
+        motion_extraction_method=method)
+    # bpm 37.5 at 10 fps = one full period per 16-frame window (phase-
+    # stable bandpass energy; same geometry as the single-stream streaming
+    # tests in test_streaming_checkpoint_faults.py).
+    clips = np.stack([
+        breathing_clip(num_frames=n, height=60, width=80, fps=FPS,
+                       bpm=37.5, patch_center=(20, 24),
+                       patch_size=(14, 18), amplitude=0.3,
+                       drift_px=_FLEET_DRIFTS[i], noise=0.002,
+                       motion_px=1.5 if method == "flow" else 0.0,
+                       texture_motion=method == "flow", seed=0)
+        for i in range(s)])
+    mon = streams_mod.MultiStreamMonitor(cfg, mesh, (60, 80), FPS)
+    loc = mon.calibrate(clips[:, :t])
+    assert bool(np.asarray(loc.found).all())
+    return mon, clips
+
+
+def test_fleet_streaming_relock_follows_moving_subjects():
+    # VERDICT r4 #4: the fleet analog of the monitor's streaming-ROI
+    # re-lock — drifting subjects must be followed via batched coarse
+    # localization + masked relock_streams, never the error-reset stall.
+    n = 96
+    s = 8
+    mon, clips = _drifting_fleet(s, n, 16,
+                                 mesh=make_mesh(axis_names=("streams",)))
+    errors = 0
+    for f in range(17, n):
+        res = mon.step(clips[:, f])
+        errors += int(np.asarray(res.error).sum())
+    assert errors == 0
+    assert mon.relocks >= s, f"only {mon.relocks} re-locks across the fleet"
+    # Every stream's final window contains its subject's final center
+    # (the initial calibrated box would have lost it).
+    for i in range(s):
+        ty = 20.0 + _FLEET_DRIFTS[i][0]
+        tx = 24.0 + _FLEET_DRIFTS[i][1]
+        x, y, w, h = mon._rois[i]
+        assert x <= tx <= x + w, (i, x, w, tx)
+        assert y <= ty <= y + h, (i, y, h, ty)
+    # Device states agree with the host ROI mirror.
+    np.testing.assert_array_equal(np.asarray(mon.states.roi), mon._rois)
+
+
+def test_fleet_streaming_relock_preserves_flow_tracking():
+    # Re-locks translate tracked points with the window (batched
+    # relock_state): flow tracking must survive without NaN samples.
+    n = 80
+    mon, clips = _drifting_fleet(3, n, 16, method="flow")
+    samples = []
+    for f in range(17, n):
+        res = mon.step(clips[:, f])
+        samples.append(np.asarray(res.samples))
+        assert not np.asarray(res.error).any()
+    assert mon.relocks >= 1
+    assert np.isfinite(np.asarray(samples)).all(), \
+        "tracking lost across a fleet re-lock"
+
+
+def test_streaming_update_coarse_tracks_exact():
+    # The coarse localizer (collapse stopped at skip_levels_at_top) must
+    # agree with the exact full-res localizer to within its granularity
+    # (2**skip px per edge) on a clean scene.
+    from respmon_tpu.pipeline import streaming
+
+    cal = CalibrationConfig(buffer_length=16, pyramid_levels=4,
+                            skip_levels_at_top=1)
+    clip = breathing_clip(num_frames=16, height=60, width=80, fps=FPS,
+                          bpm=37.5, patch_center=(30, 40),
+                          patch_size=(16, 20), amplitude=0.3, noise=0.0)
+    s_exact = streaming.init_streaming_state(60, 80, cal)
+    s_coarse = streaming.init_streaming_state(60, 80, cal)
+    for i in range(16):
+        f = jnp.asarray(clip[i])
+        s_exact, r_exact = streaming.streaming_update(s_exact, f, FPS, cal)
+        s_coarse, r_coarse = streaming.streaming_update(s_coarse, f, FPS,
+                                                        cal, coarse=True)
+    assert bool(r_exact.found) and bool(r_coarse.found)
+    g = 2 ** cal.skip_levels_at_top
+    cx_e = float(r_exact.x) + float(r_exact.w) / 2
+    cy_e = float(r_exact.y) + float(r_exact.h) / 2
+    cx_c = float(r_coarse.x) + float(r_coarse.w) / 2
+    cy_c = float(r_coarse.y) + float(r_coarse.h) / 2
+    assert abs(cx_e - cx_c) <= 2 * g and abs(cy_e - cy_c) <= 2 * g, \
+        ((cx_e, cy_e), (cx_c, cy_c))
+
+
 def test_fleet_compiled_programs_are_cached():
     # Repeated fleet calibrations/steps must NOT rebuild (and thus
     # recompile) the shard_map closures: the factories are lru_cached so
@@ -214,6 +318,30 @@ def test_locate_tsharded_matches_single_device():
     assert (int(got.x), int(got.y), int(got.w), int(got.h)) == \
         (int(want.x), int(want.y), int(want.w), int(want.h))
     # Heatmaps agree to quantization (reductions reassociate across shards).
+    assert np.abs(np.asarray(got.heatmap_u8, np.int32)
+                  - np.asarray(want.heatmap_u8, np.int32)).max() <= 1
+    np.testing.assert_array_equal(np.asarray(got.thresh) > 0,
+                                  np.asarray(want.thresh) > 0)
+
+
+def test_locate_tsharded_nondivisible_t_matches_single_device():
+    # BASELINE config 3 geometry: buffer lengths not divisible by the mesh
+    # (e.g. 300 frames on 8 devices) zero-pad the tail shard and mask it
+    # out of the temporal statistics; the result must still match the
+    # unsharded locate on the TRUE-length buffer.
+    from respmon_tpu.parallel.temporal import locate_tsharded
+    from respmon_tpu.pipeline import evm
+
+    mesh = make_mesh(axis_names=("time",))
+    clip = _stream_clips(1, 32)[0][:27]   # 27 % 8 != 0 -> pads to 32
+    vid = jnp.asarray(clip, jnp.float32)
+
+    want = evm.locate(vid, FPS, SMALL_CFG.calibration)
+    got = locate_tsharded(vid, mesh, FPS, SMALL_CFG.calibration)
+
+    assert bool(got.found) == bool(want.found)
+    assert (int(got.x), int(got.y), int(got.w), int(got.h)) == \
+        (int(want.x), int(want.y), int(want.w), int(want.h))
     assert np.abs(np.asarray(got.heatmap_u8, np.int32)
                   - np.asarray(want.heatmap_u8, np.int32)).max() <= 1
     np.testing.assert_array_equal(np.asarray(got.thresh) > 0,

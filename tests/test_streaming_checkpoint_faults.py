@@ -273,6 +273,42 @@ def test_blackout_fault_triggers_error_and_recovery():
     assert mon.state in ("calibration", "measure")
 
 
+def test_streaming_warm_recovery_skips_buffer_refill():
+    # VERDICT r4 #5: with streaming_roi on, the rolling rings stay warm
+    # through the error state (frames absorb during the wait), so the
+    # post-reset calibration localizes from the rings within a few frames
+    # instead of dead-waiting a full buffer_length refill.
+    cal = CalibrationConfig(buffer_length=64, pyramid_levels=6,
+                            skip_levels_at_top=2)
+    good = breathing_clip(num_frames=64 + 1 + 160, height=120, width=160,
+                          fps=FPS, bpm=18.0, patch_center=(60, 80),
+                          patch_size=(30, 40), amplitude=0.12,
+                          motion_px=2.0)
+    src = FaultInjector(
+        ArrayCapture(good, fps=FPS),
+        [FaultSchedule("blackout", start=64 + 1 + 30, end=64 + 1 + 36)])
+    cfg = MonitorConfig(calibration=cal, streaming_roi=True,
+                        streaming_interval=8, streaming_drift_px=4.0)
+    mon = RespiratoryMonitor(
+        capture_target="warmfault", save_all_data=False, visualize=None,
+        motion_extraction_method="flow", config=cfg, capture=src,
+        auto_run=False, sync_fps=False, error_reset_delay=0.0)
+    trace = []
+    while mon.cap.is_open():
+        if not mon.step():
+            break
+        trace.append(mon.state)
+    assert "error" in trace, "blackout never triggered the error state"
+    i_err = trace.index("error")
+    assert "measure" in trace[i_err:], "never recovered to measurement"
+    i_meas = i_err + trace[i_err:].index("measure")
+    # Cold recovery would spend >= buffer_length (64) frames refilling the
+    # calibration buffer; warm recovery localizes from the rings as soon
+    # as the blackout passes (a handful of retry frames).
+    assert i_meas - i_err <= 20, \
+        f"warm recovery took {i_meas - i_err} frames (cold would be >64)"
+
+
 def test_nan_fault_passthrough_average_mode_no_error():
     # In average mode the reference's detect_errors identity-check never
     # fires (SURVEY.md §5) — NaN frames must not crash nor error the
