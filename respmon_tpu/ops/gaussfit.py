@@ -31,6 +31,16 @@ envelope is pinned by tests/test_gaussfit.py::
 test_f32_envelope_including_noise_windows and re-measured on the real device
 every bench run (bench.py ``_check_gaussfit_parity`` →
 ``gaussfit_device_agreement_*`` JSON keys).
+
+Round 5 closes the END-TO-END envelope: wild converged f32 fits (the
+scipy-maxfev flip class — center far outside the window or amplitude far
+above the data) are re-fit in emulated f64 at MINPACK tolerances by the BPM
+stage (pipeline/bpm.py ``f64_refine``; ``fd_jacobian`` here exists for that
+characterization — the forward-difference variant measured strictly worse
+than the analytic 500-iteration refit and does not ship).  Whole-trajectory
+result on the 120-trace corpus (real TPU, BENCH_CORPUS_r05.json): 0/21600
+has-BPM mismatches, per-step |ΔBPM| p99.9 = 0.022, 116/120 traces fully
+within ±0.5 (see BENCHMARKS.md §End-to-end BPM decision envelope).
 """
 
 from __future__ import annotations
@@ -94,7 +104,8 @@ def _solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
                         iters: int = 200, ftol: float | None = None,
-                        xtol: float | None = None) -> GaussFit:
+                        xtol: float | None = None,
+                        fd_jacobian: bool = False) -> GaussFit:
     """Trust-region LM fit of a Gaussian to masked (t, y) points.
 
     Initial guess matches peakutils.gaussian_fit: ``[max(y), t[0], 5*dt]``
@@ -110,11 +121,19 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
     if xtol is None:
         xtol = 1.49e-8 if dtype == jnp.float64 else 3.45e-4
     w = mask.astype(dtype)
-    nvalid = jnp.sum(mask)
+    # Explicit int32 index math throughout: this fit is also traced INSIDE
+    # a ``jax.enable_x64(True)`` region by the hybrid refinement
+    # (pipeline/bpm.py) while the surrounding module is x64-off, and
+    # default-dtype index ops (argmax -> i64) then fail MLIR verification
+    # on this jaxlib (mixed-mode module type mismatch); i64 is also a
+    # poor fit for TPU.
+    nvalid = jnp.sum(mask, dtype=jnp.int32)
 
-    first = jnp.argmax(mask)
+    npts = t.shape[0]
+    idx32 = jax.lax.iota(jnp.int32, npts)
+    first = jnp.min(jnp.where(mask, idx32, jnp.asarray(npts - 1, jnp.int32)))
     t0 = t[first]
-    t1 = t[jnp.minimum(first + 1, t.shape[0] - 1)]
+    t1 = t[jnp.minimum(first + 1, npts - 1)]
     big_neg = jnp.asarray(-jnp.inf, dtype)
     ymax = jnp.max(jnp.where(mask, y, big_neg))
     p0 = jnp.stack([ymax, t0, (t1 - t0) * 5.0])
@@ -123,7 +142,7 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
         r = (_gauss(t, p[0], p[1], p[2]) - y) * w
         return jnp.sum(r * r), r
 
-    def jacobian(p):
+    def jacobian_analytic(p):
         ampl, center, dev = p[0], p[1], p[2]
         d = t - center
         e = jnp.exp(-(d ** 2) / (2.0 * dev ** 2))
@@ -131,6 +150,25 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
             [e, ampl * e * d / (dev ** 2), ampl * e * (d ** 2) / (dev ** 3)],
             axis=-1)
         return cols * w[:, None]
+
+    def jacobian_fd(p):
+        # MINPACK fdjac2: forward differences with step eps = sqrt(machine
+        # eps) * |p_j| (or eps itself when p_j == 0).  lmdif's iterate path
+        # on degenerate windows depends on this noisy jacobian; the hybrid
+        # refinement (pipeline/bpm.py) uses it so "converged within budget"
+        # tracks scipy's verdict rather than the analytic-jacobian path's.
+        sq = jnp.sqrt(jnp.asarray(
+            1.19e-7 if dtype == jnp.float32 else 2.22e-16, dtype))
+        base = _gauss(t, p[0], p[1], p[2])
+        cols = []
+        for j in range(3):
+            h = sq * jnp.abs(p[j])
+            h = jnp.where(h == 0, sq, h)
+            pj = p.at[j].add(h)
+            cols.append((_gauss(t, pj[0], pj[1], pj[2]) - base) / h)
+        return jnp.stack(cols, axis=-1) * w[:, None]
+
+    jacobian = jacobian_fd if fd_jacobian else jacobian_analytic
 
     F0, _ = cost_and_resid(p0)
     J0 = jacobian(p0)
@@ -269,13 +307,13 @@ def gaussian_fit_single(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
                     converged=converged, cost=F)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "fd_jacobian"))
 def gaussian_fit_batch(t: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
-                       iters: int = 200) -> GaussFit:
+                       iters: int = 200,
+                       fd_jacobian: bool = False) -> GaussFit:
     """vmapped trust-region LM Gaussian fit over a batch of masked windows.
 
     Shapes: t, y, mask are (B, W); returns GaussFit of (B,) arrays.
     """
-    return jax.vmap(lambda ti, yi, mi: gaussian_fit_single(ti, yi, mi,
-                                                           iters=iters))(
-        t, y, mask)
+    return jax.vmap(lambda ti, yi, mi: gaussian_fit_single(
+        ti, yi, mi, iters=iters, fd_jacobian=fd_jacobian))(t, y, mask)

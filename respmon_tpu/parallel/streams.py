@@ -365,11 +365,11 @@ def init_fleet_streaming(frame_hw: Tuple[int, int], cfg, n_streams: int,
 @partial(jax.jit, static_argnames=("cfg",))
 def init_fleet_streaming_from_buffers(buffers: jnp.ndarray, cfg):
     """Warm-start batched rings from the (S, T, H, W) calibration buffers
-    (vmapped streaming.init_streaming_from_buffer)."""
+    (one kept-levels pass over the flattened stack — no vmap over the
+    Pallas pyramid kernel)."""
     from respmon_tpu.pipeline import streaming as streaming_mod
 
-    return jax.vmap(
-        lambda b: streaming_mod.init_streaming_from_buffer(b, cfg))(buffers)
+    return streaming_mod.init_streaming_from_buffers_batch(buffers, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -378,9 +378,21 @@ def absorb_streams(sstate, frames: jnp.ndarray, cfg):
     each step's rings alias the previous step's buffers)."""
     from respmon_tpu.pipeline import streaming as streaming_mod
 
-    return jax.vmap(
-        lambda s, f: streaming_mod.streaming_absorb(s, f, cfg))(sstate,
-                                                                frames)
+    return streaming_mod.streaming_absorb_batch(sstate, frames, cfg)
+
+
+def _update_streams_batched(sstate, frames, fps, cfg, coarse):
+    """Batched absorb (S-stack through one pyramid pass), then the
+    localize half vmapped per stream (pure XLA — vmap-safe)."""
+    from respmon_tpu.pipeline import streaming as streaming_mod
+
+    new_state = streaming_mod.streaming_absorb_batch(sstate, frames, cfg)
+    hw = frames.shape[-2:]
+    dtype = new_state.levels[0].dtype
+    loc = jax.vmap(
+        lambda st: streaming_mod._localize_window(st, hw, dtype, fps, cfg,
+                                                  coarse))(new_state)
+    return new_state, loc
 
 
 @partial(jax.jit, static_argnames=("fps", "cfg", "coarse"),
@@ -388,12 +400,8 @@ def absorb_streams(sstate, frames: jnp.ndarray, cfg):
 def update_streams(sstate, frames: jnp.ndarray, fps: float, cfg,
                    coarse: bool = True):
     """Absorb one (S, H, W) frame batch AND localize every stream over its
-    rolling window (vmapped streaming.streaming_update)."""
-    from respmon_tpu.pipeline import streaming as streaming_mod
-
-    return jax.vmap(
-        lambda s, f: streaming_mod.streaming_update(
-            s, f, fps, cfg, coarse))(sstate, frames)
+    rolling window."""
+    return _update_streams_batched(sstate, frames, fps, cfg, coarse)
 
 
 @lru_cache(maxsize=64)
@@ -403,9 +411,7 @@ def make_sharded_absorb(mesh: Mesh, cfg, axis: str = "streams"):
     p = jax.sharding.PartitionSpec(axis)
 
     def local(sstate, frames):
-        return jax.vmap(
-            lambda s, f: streaming_mod.streaming_absorb(s, f, cfg))(sstate,
-                                                                    frames)
+        return streaming_mod.streaming_absorb_batch(sstate, frames, cfg)
 
     return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(p, p),
                                  out_specs=p, check_vma=False),
@@ -415,14 +421,10 @@ def make_sharded_absorb(mesh: Mesh, cfg, axis: str = "streams"):
 @lru_cache(maxsize=64)
 def make_sharded_update(mesh: Mesh, fps: float, cfg,
                         axis: str = "streams", coarse: bool = True):
-    from respmon_tpu.pipeline import streaming as streaming_mod
-
     p = jax.sharding.PartitionSpec(axis)
 
     def local(sstate, frames):
-        return jax.vmap(
-            lambda s, f: streaming_mod.streaming_update(
-                s, f, fps, cfg, coarse))(sstate, frames)
+        return _update_streams_batched(sstate, frames, fps, cfg, coarse)
 
     return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(p, p),
                                  out_specs=p, check_vma=False),
@@ -517,6 +519,14 @@ class MultiStreamMonitor:
         self._stream_tick = 0
         self._rois: Optional[np.ndarray] = None   # host mirror (S, 4)
         self.relocks = 0
+        # Fleet BPM tier (see MonitorConfig.fleet_f64_refine): unless
+        # opted in, the lockstep step runs without the f64 wild-fit
+        # refinement — one persistent suspect lane would otherwise make
+        # EVERY step pay the emulated-f64 refit loop.
+        self.measure_cfg = cfg.measure
+        if not cfg.fleet_f64_refine and cfg.measure.f64_refine:
+            self.measure_cfg = dataclasses.replace(cfg.measure,
+                                                   f64_refine=False)
         # Carried prev-frame LK stacks (motion.FlowCache, batched (S,...));
         # None = next step compiles the rebuild variant.  Any EXTERNAL
         # assignment to .states (recalibration merges, checkpoint restore,
@@ -683,13 +693,13 @@ class MultiStreamMonitor:
                     cache = shard_streams(cache, self.mesh)
                 fn = make_sharded_monitor_step_cached(
                     self.mesh, self.spec, self.coeffs, self.min_dist,
-                    self.cfg.measure, initialized=initialized,
+                    self.measure_cfg, initialized=initialized,
                     cache_valid=cache_valid)
                 res, new_cache = fn(self._states, cache, dev)
             else:
                 res, new_cache = monitor_step_streams_cached(
                     self._states, cache, dev, self.spec, self.coeffs,
-                    self.min_dist, self.cfg.measure,
+                    self.min_dist, self.measure_cfg,
                     initialized=initialized, cache_valid=cache_valid)
             self._states = res.state
             self._cache = new_cache
@@ -700,12 +710,12 @@ class MultiStreamMonitor:
             dev = shard_streams(dev, self.mesh)
             fn = make_sharded_monitor_step(
                 self.mesh, self.spec, self.coeffs, self.min_dist,
-                self.cfg.measure, initialized=initialized)
+                self.measure_cfg, initialized=initialized)
             res = fn(self.states, dev)
         else:
             res = monitor_step_streams(self.states, dev, self.spec,
                                        self.coeffs, self.min_dist,
-                                       self.cfg.measure,
+                                       self.measure_cfg,
                                        initialized=initialized)
         self.states = res.state
         self._needs_init = False
@@ -794,12 +804,12 @@ class MultiStreamMonitor:
                 self.mesh, jax.sharding.PartitionSpec(None, "streams")))
             fn = make_sharded_monitor_scan(
                 self.mesh, self.spec, self.coeffs, self.min_dist,
-                self.cfg.measure, initialized=initialized)
+                self.measure_cfg, initialized=initialized)
             res = fn(self.states, dev)
         else:
             res = monitor_scan_streams(self.states, dev, self.spec,
                                        self.coeffs, self.min_dist,
-                                       self.cfg.measure,
+                                       self.measure_cfg,
                                        initialized=initialized)
         self.states = res.state
         self._needs_init = False

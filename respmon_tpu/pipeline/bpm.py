@@ -77,11 +77,47 @@ def estimate_bpm(data: jnp.ndarray, t: jnp.ndarray, count: jnp.ndarray,
     # can occupy at most 14 of the 32 static slots.
     fit_lanes = min(max_peaks, n // (min_dist + 1) + 1) if min_dist > 1 \
         else max_peaks
-    fit = gaussfit.gaussian_fit_batch(win_t[:fit_lanes], win_y[:fit_lanes],
-                                      win_mask[:fit_lanes])
+    vt = win_t[:fit_lanes]
+    vy = win_y[:fit_lanes]
+    vm = win_mask[:fit_lanes]
+    fit = gaussfit.gaussian_fit_batch(vt, vy, vm)
+    acc_lane = fit.converged & (fit.dev < cfg.gaussian_cutoff)
+
+    if cfg.f64_refine:
+        # Hybrid f64 refinement (see MeasureConfig.f64_refine): an accepted
+        # f32 fit whose Gaussian is WILD — center far outside the window or
+        # amplitude far above the data — marks the scipy-maxfev flip class:
+        # the f64 reference path wanders past its budget (reference drops
+        # the peak, base.py:336-337) while the f32 loop's loose ftol
+        # (3.45e-4, the f32 roundoff floor) calls it converged.  Those
+        # lanes re-fit in f64 (emulated on TPU — jax.enable_x64 inside the
+        # trace) at MINPACK-grade tolerances; non-suspect lanes mask out
+        # and cost nothing (done-at-init, the while_loop exits
+        # immediately when no lane is live).
+        big = jnp.asarray(jnp.inf, vt.dtype)
+        t_lo = jnp.min(jnp.where(vm, vt, big), axis=1)
+        t_hi = jnp.max(jnp.where(vm, vt, -big), axis=1)
+        span = jnp.maximum(t_hi - t_lo, jnp.asarray(1e-9, vt.dtype))
+        dist = jnp.maximum(jnp.maximum(t_lo - fit.center,
+                                       fit.center - t_hi), 0.0) / span
+        ymax = jnp.max(jnp.where(vm, jnp.abs(vy), 0.0), axis=1)
+        ar = jnp.abs(fit.ampl) / jnp.maximum(ymax, 1e-12)
+        # Wild CONVERGED fits refit in either decision direction: an
+        # accepted wild fit may be the scipy-maxfev drop class, and a
+        # REJECTED wild fit may be an iterate-path divergence away from a
+        # narrow-spike minimum scipy accepts (both observed on the corpus).
+        suspect = fit.converged & ((dist > 2.0) | (ar > 5.0))
+        with jax.enable_x64(True):
+            f64 = jnp.float64
+            fit64 = gaussfit.gaussian_fit_batch(
+                vt.astype(f64), vy.astype(f64), vm & suspect[:, None],
+                iters=500)
+            acc64 = fit64.converged & \
+                (fit64.dev < jnp.asarray(cfg.gaussian_cutoff, f64))
+        acc_lane = jnp.where(suspect, acc64, acc_lane)
+
     pad = (0, max_peaks - fit_lanes)
-    accept = cand_mask & jnp.pad(fit.converged, pad) \
-        & (jnp.pad(fit.dev, pad) < cfg.gaussian_cutoff)
+    accept = cand_mask & jnp.pad(acc_lane, pad)
 
     # Peak times of accepted candidates, compacted in ascending order.
     times = t[jnp.clip(cand_idx, 0, n - 1)]

@@ -110,42 +110,68 @@ def streaming_absorb(state: StreamingState, frame: jnp.ndarray,
         count=jnp.minimum(state.count + 1, cfg.buffer_length))
 
 
-@partial(jax.jit, static_argnames=("fps", "cfg", "coarse"))
-def streaming_update(state: StreamingState, frame: jnp.ndarray, fps: float,
-                     cfg: CalibrationConfig, coarse: bool = False) \
-        -> Tuple[StreamingState, StreamingLocate]:
-    """Absorb one frame and localize over the current window.
+def streaming_absorb_batch(state: StreamingState, frames: jnp.ndarray,
+                           cfg: CalibrationConfig) -> StreamingState:
+    """Fleet absorb: ``frames`` (S, H, W) into batched rings (S, T, h, w).
 
-    ``ready`` is False until the ring holds ``buffer_length`` frames
-    (matching the prototype, which waits for a full deque before filtering,
-    locating.py:117-143).
+    Formulated over the whole S-stack (the pyramid ops batch over leading
+    axes, and the Pallas kernel sees one (S, H, W) "video") instead of
+    ``vmap``-of-``streaming_absorb`` — Mosaic kernels don't take an extra
+    vmap batch dimension."""
+    if frames.dtype == jnp.uint8:
+        frames = uint8_to_float(frames)
+    from respmon_tpu.pipeline import evm
 
-    ``coarse`` (static) stops the collapse at level ``skip_levels_at_top``
-    instead of full resolution: the suppress-top window, heatmap, threshold,
-    and CCL all run on the (T, h_c, w_c) coarse image and the bbox is
-    scaled back by ``2**skip``.  At 1080p with skip=4 this removes the
-    (T, 1080, 1920) collapse — ~256x less pixel work and HBM traffic for
-    the localize half — at the cost of ``2**skip``-pixel bbox granularity,
-    which is exactly what a re-lock drift detector needs (not the exact
-    batch-calibration semantics; the fleet streaming mode uses this).
-    The returned ``heatmap_u8`` is the coarse heatmap in this mode.
-    """
-    if frame.dtype == jnp.uint8:  # camera-native ingest (ops/dtype contract)
-        frame = uint8_to_float(frame)
-    h0, w0 = frame.shape
+    kept = _kept_levels(cfg)
+    band_lap = evm._band_laplacian_levels(frames, cfg)
+    new_levels = []
+    for ring, lvl in zip(state.levels, kept):
+        rolled = jnp.roll(ring, -1, axis=1)
+        new_levels.append(rolled.at[:, -1].set(band_lap[lvl]))
+    return StreamingState(
+        levels=tuple(new_levels),
+        count=jnp.minimum(state.count + 1, cfg.buffer_length))
+
+
+def init_streaming_from_buffers_batch(buffers: jnp.ndarray,
+                                      cfg: CalibrationConfig
+                                      ) -> StreamingState:
+    """Fleet warm-start: (S, T, H, W) buffers -> batched rings, via ONE
+    kept-levels pass over the flattened (S*T, H, W) stack (again avoiding
+    vmap over the Pallas kernel)."""
+    from respmon_tpu.pipeline import evm
+
+    s = buffers.shape[0]
+    t = cfg.buffer_length
+    buf = buffers[:, -t:]
+    if buf.dtype == jnp.uint8:
+        buf = uint8_to_float(buf)
+    flat = buf.reshape((s * t,) + buf.shape[2:])
+    band_lap = evm._band_laplacian_levels(flat, cfg)
+    levels = tuple(
+        band_lap[i].reshape((s, t) + band_lap[i].shape[1:])
+        for i in _kept_levels(cfg))
+    return StreamingState(levels=levels,
+                          count=jnp.full((s,), t, jnp.int32))
+
+
+def _localize_window(state: StreamingState, frame_hw: Tuple[int, int],
+                     dtype, fps: float, cfg: CalibrationConfig,
+                     coarse: bool) -> StreamingLocate:
+    """The localize half of ``streaming_update``: bandpass the rolling
+    rings, collapse (to full res, or to the kept-level resolution when
+    ``coarse``), suppress-top, heatmap, threshold, CCL bbox.  Contains no
+    Pallas calls, so it vmaps cleanly for the fleet path."""
+    h0, w0 = frame_hw
     shapes = pyramid_shapes(h0, w0, cfg.pyramid_levels)
     kept = _kept_levels(cfg)
 
-    new_state = streaming_absorb(state, frame, cfg)
-    new_levels = new_state.levels
-
-    # Bandpass + collapse over the window (zero levels skipped implicitly).
     band = {lvl: temporal_bandpass_fft(ring, fps, cfg.freq_min,
                                        cfg.freq_max, cfg.amplification)
-            for ring, lvl in zip(new_levels, kept)}
+            for ring, lvl in zip(state.levels, kept)}
     last = cfg.pyramid_levels - 2
     stop = cfg.skip_levels_at_top if coarse else 0
-    img = jnp.zeros((cfg.buffer_length,) + shapes[last + 1], frame.dtype)
+    img = jnp.zeros((cfg.buffer_length,) + shapes[last + 1], dtype)
     for lvl in range(last, stop - 1, -1):
         img = pyr_up(img, shapes[lvl])
         if lvl in band:
@@ -172,7 +198,34 @@ def streaming_update(state: StreamingState, frame: jnp.ndarray, fps: float,
     else:
         bx, by, bw, bh = box.x, box.y, box.w, box.h
 
-    ready = new_state.count >= cfg.buffer_length
-    return new_state, StreamingLocate(
+    ready = state.count >= cfg.buffer_length
+    return StreamingLocate(
         ready=ready, found=box.found & ready, x=bx, y=by,
         w=bw, h=bh, heatmap_u8=heat)
+
+
+@partial(jax.jit, static_argnames=("fps", "cfg", "coarse"))
+def streaming_update(state: StreamingState, frame: jnp.ndarray, fps: float,
+                     cfg: CalibrationConfig, coarse: bool = False) \
+        -> Tuple[StreamingState, StreamingLocate]:
+    """Absorb one frame and localize over the current window.
+
+    ``ready`` is False until the ring holds ``buffer_length`` frames
+    (matching the prototype, which waits for a full deque before filtering,
+    locating.py:117-143).
+
+    ``coarse`` (static) stops the collapse at level ``skip_levels_at_top``
+    instead of full resolution: the suppress-top window, heatmap, threshold,
+    and CCL all run on the (T, h_c, w_c) coarse image and the bbox is
+    scaled back by ``2**skip``.  At 1080p with skip=4 this removes the
+    (T, 1080, 1920) collapse — ~256x less pixel work and HBM traffic for
+    the localize half — at the cost of ``2**skip``-pixel bbox granularity,
+    which is exactly what a re-lock drift detector needs (not the exact
+    batch-calibration semantics; the fleet streaming mode uses this).
+    The returned ``heatmap_u8`` is the coarse heatmap in this mode.
+    """
+    if frame.dtype == jnp.uint8:  # camera-native ingest (ops/dtype contract)
+        frame = uint8_to_float(frame)
+    new_state = streaming_absorb(state, frame, cfg)
+    return new_state, _localize_window(new_state, frame.shape, frame.dtype,
+                                       fps, cfg, coarse)
