@@ -1763,7 +1763,14 @@ def main_recovery(cycles: int = 3, error_reset_delay: float = 0.5,
     black = np.zeros_like(pool[0])
 
     class AdaptiveSource:
-        """Serves good breathing frames or blackouts, driver-controlled."""
+        """Serves good breathing frames or blackouts, driver-controlled.
+
+        Frames are RATE-LIMITED to the video fps: a camera delivers 10
+        frames per second, so recovery phases that consume frames (the
+        cold path's 128-frame buffer refill, the warm path's localize
+        retries) cost real wall time here exactly as deployed.  A
+        free-running source (r4's soak) made the cold refill nearly free
+        and measured only dispatch/fetch latency."""
 
         def __init__(self):
             self.fps = fps_video
@@ -1771,10 +1778,15 @@ def main_recovery(cycles: int = 3, error_reset_delay: float = 0.5,
             self.mode = "good"
             self.idx = 0          # advances only on good frames: phase
             self.open = True      # stays continuous across blackouts
+            self._last = 0.0
 
         def next_frame(self):
             if not self.open:
                 return None
+            wait = self._last + 1.0 / self.fps - time.time()
+            if wait > 0:
+                time.sleep(wait)
+            self._last = time.time()
             if self.mode == "black":
                 return black
             f = pool[self.idx % len(pool)]

@@ -496,9 +496,27 @@ class RespiratoryMonitor:
         return False
 
     def _setup_measurement(self):
-        self._measure_spec = motion.MeasureSpec.for_roi(
-            self.config, self.height, self.width, self.w, self.h,
-            float(self.fps))
+        # Crop-bucket reuse across recalibrations: ROI position/size are
+        # DYNAMIC inputs of the compiled measure program (only the bucket
+        # is static), so when a fresh ROI fits the previous bucket the
+        # already-compiled program serves it — without this, every
+        # error-recovery cycle whose ROI landed in a new bucket paid a
+        # multi-second recompile, which dominated the recovery soak
+        # (BENCH_EXTRA_r05.json).  A bucket more than 4x the needed area
+        # rebuilds anyway (a tiny ROI inside a huge stale window would
+        # waste per-frame compute forever).
+        spec = self._measure_spec
+        if (spec is not None and spec.fps == float(self.fps)
+                and self.w <= spec.crop_w and self.h <= spec.crop_h
+                and spec.crop_w * spec.crop_h
+                <= 4 * max(self.w * self.h, 1)):
+            logger.info("Reusing measurement crop bucket %dx%d for ROI "
+                        "%dx%d (no recompile).", spec.crop_w, spec.crop_h,
+                        self.w, self.h)
+        else:
+            self._measure_spec = motion.MeasureSpec.for_roi(
+                self.config, self.height, self.width, self.w, self.h,
+                float(self.fps))
         self._measure_state = motion.init_state(
             self._measure_spec, (self.x, self.y, self.w, self.h),
             dtype=self.compute_dtype)

@@ -309,6 +309,32 @@ def test_streaming_warm_recovery_skips_buffer_refill():
         f"warm recovery took {i_meas - i_err} frames (cold would be >64)"
 
 
+def test_measurement_bucket_reuse_across_recalibration():
+    # Recovery recalibrations whose fresh ROI fits the previous crop
+    # bucket must reuse the compiled measure program (spec identity) —
+    # per-cycle recompiles dominated the recovery soak otherwise.  A
+    # much-smaller ROI (bucket > 4x needed area) rebuilds.
+    cal = CalibrationConfig(buffer_length=16, pyramid_levels=4,
+                            skip_levels_at_top=1)
+    clip = breathing_clip(num_frames=20, height=60, width=80, fps=FPS,
+                          bpm=18.0, patch_center=(30, 40),
+                          patch_size=(16, 20), amplitude=0.25)
+    mon = RespiratoryMonitor(
+        capture_target="bucket", save_all_data=False, visualize=None,
+        motion_extraction_method="average",
+        config=MonitorConfig(calibration=cal),
+        capture=ArrayCapture(clip, fps=FPS), auto_run=False,
+        sync_fps=False)
+    mon.skip_calibration(10, 10, 30, 28)
+    spec1 = mon._measure_spec
+    # Slightly different ROI inside the same bucket -> same spec object.
+    mon.skip_calibration(14, 12, 28, 26)
+    assert mon._measure_spec is spec1
+    # Tiny ROI (bucket area > 4x) -> rebuilt spec.
+    mon.skip_calibration(14, 12, 8, 6)
+    assert mon._measure_spec is not spec1
+
+
 def test_nan_fault_passthrough_average_mode_no_error():
     # In average mode the reference's detect_errors identity-check never
     # fires (SURVEY.md §5) — NaN frames must not crash nor error the
