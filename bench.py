@@ -1019,7 +1019,16 @@ def main_fleet_breakdown(streams: int = 64):
     fps_video = 10.0
     H, W = 1080, 1920
     cfg = MonitorConfig(motion_extraction_method="flow")
+    # Decompose the PRODUCTION fleet step: the fleet BPM tier runs without
+    # the f64 wild-fit refinement (MonitorConfig.fleet_f64_refine, default
+    # off — MultiStreamMonitor applies the same replace), so the stages
+    # here correspond to the program mon.step actually dispatches.  With
+    # the refinement left on, the estimator stage alone measured 253 ms at
+    # this fixture (persistent suspect lanes × the emulated-f64 loop).
+    import dataclasses as _dc2
     mcfg = cfg.measure
+    if not cfg.fleet_f64_refine and mcfg.f64_refine:
+        mcfg = _dc2.replace(mcfg, f64_refine=False)
 
     log("1080p locate for the fleet ROI...")
     cal = breathing_clip(num_frames=cfg.calibration.buffer_length, height=H,

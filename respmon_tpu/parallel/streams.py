@@ -795,7 +795,12 @@ class MultiStreamMonitor:
         chained ``step`` calls with deferred fetches (see
         _monitor_scan_batched); use for dispatch-starved deployments or
         offline batch replay, not as the default throughput mode.  Accepts
-        ``uint8`` frame batches like ``step`` (4x smaller staged batch)."""
+        ``uint8`` frame batches like ``step`` (4x smaller staged batch).
+        The streaming-ROI re-lock mode is serviced by ``step`` only: this
+        batch path does NOT absorb frames into the rolling rings (a
+        K-frame gap would break the bandpass's contiguous-window
+        assumption) — fleets using streaming_roi should stay on
+        ``step``."""
         assert self.states is not None, "calibrate() first"
         dev = ingest_frames(frames, self.dtype)
         initialized = not self._needs_init
