@@ -768,8 +768,12 @@ def _warmup():
     _check_u8_widen()
 
 
-def main_multistream(streams: int = 64):
-    """BASELINE.md config 5: 64-stream 1080p lockstep monitoring."""
+def main_multistream(streams: int = 64, fleet_refine: bool = False):
+    """BASELINE.md config 5: 64-stream 1080p lockstep monitoring.
+
+    ``fleet_refine`` opts the fleet into the accuracy tier
+    (MonitorConfig.fleet_f64_refine: the emulated-f64 wild-fit refinement
+    runs inside the lockstep step) to price that tier at fleet scale."""
     import jax
     import jax.numpy as jnp
 
@@ -782,7 +786,8 @@ def main_multistream(streams: int = 64):
 
     fps_video = 10.0
     H, W = 1080, 1920
-    cfg = MonitorConfig(motion_extraction_method="flow")
+    cfg = MonitorConfig(motion_extraction_method="flow",
+                        fleet_f64_refine=fleet_refine)
 
     # --- single-stream 1080p recalibration unit (tiled Pallas pyramid path)
     log("generating 1080p calibration buffer...")
@@ -952,7 +957,8 @@ def main_multistream(streams: int = 64):
         log(f"skipping step_many diagnostic: {K}-frame batches for "
             f"{streams} streams need {batch_bytes/2**30:.1f} GB staged")
         print(json.dumps({
-            "metric": f"multistream_{streams}x1080p_flow_monitoring",
+            "metric": f"multistream_{streams}x1080p_flow_monitoring"
+                  + ("_f64refine" if fleet_refine else ""),
             "value": round(sfps, 1),
             "unit": "stream-frames/sec/chip",
             "vs_baseline": round(sfps / REFERENCE_BEST_FPS, 1),
@@ -978,7 +984,8 @@ def main_multistream(streams: int = 64):
         f"stream-frames/sec/chip, {margin_b:.1f}x real-time margin")
 
     print(json.dumps({
-        "metric": f"multistream_{streams}x1080p_flow_monitoring",
+        "metric": f"multistream_{streams}x1080p_flow_monitoring"
+                  + ("_f64refine" if fleet_refine else ""),
         "value": round(sfps, 1),
         "unit": "stream-frames/sec/chip",
         "vs_baseline": round(sfps / REFERENCE_BEST_FPS, 1),
@@ -2061,6 +2068,10 @@ def main():
                    help="--recovery: streaming-ring warm recovery variant "
                         "(config.streaming_roi on; rings survive the error "
                         "state so recalibration skips the buffer refill)")
+    p.add_argument("--fleet-refine", action="store_true",
+                   help="--multistream: run the fleet in the ACCURACY tier "
+                        "(fleet_f64_refine on — emulated-f64 wild-fit "
+                        "refinement inside the lockstep step)")
     p.add_argument("--bpm-corpus", action="store_true",
                    help="end-to-end BPM decision envelope: device f32 "
                         "estimator vs the scipy-f64 golden chain over a "
@@ -2087,7 +2098,7 @@ def main():
     elif args.live:
         main_live(args.frames, args.capture_ms)
     elif args.multistream:
-        main_multistream(args.streams or 64)
+        main_multistream(args.streams or 64, fleet_refine=args.fleet_refine)
     else:
         main_headline(include_fleet=not args.no_fleet)
 
